@@ -1,13 +1,127 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Bm25Params
+import graft.index.InvertedIndex
+import graft.query.Bm25Query
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done in SURVEY.md §2 gets a `queries` entry
+  * (Spark implementation over the sf-dir parquet tables) and, where
+  * SQL-expressible, an `oracleSql` entry with identical semantics for the
+  * driver's DuckDB compare. Column names and rounding are pinned identical
+  * on both sides (the driver hash-compares after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val P = Bm25Params() // k1=1.2, b=0.75, eps=0.25 (north rule)
+
+  /** Flagship: BM25 top-10 for the fixed query battery on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    bm25TopK(spark, "/root/testdata/sf0.001", 10)
+
+  // ---- shared builders -------------------------------------------------
+
+  private def corpus(spark: SparkSession, dir: String) = {
+    val tok = DocsCorpus.tokenized(spark, dir)
+    val post = InvertedIndex.postings(tok)
+    val dls = InvertedIndex.docLens(tok)
+    val stats = InvertedIndex.corpusStats(dls).first()
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val idf = InvertedIndex.idfTable(InvertedIndex.docFreq(post), n, P)
+    (tok, post, dls, n, avgdl, idf)
+  }
+
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val (_, post, dls, _, avgdl, idf) = corpus(spark, dir)
+    InvertedIndex.scoreQuery(post, idf, dls, avgdl, DocsCorpus.fixedQuery, P)
+  }
+
+  private def bm25TopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val scored = bm25Scores(spark, dir)
+      .withColumn("score_r", round(col("score"), 4))
+    val w = Window.orderBy(col("score_r").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("score_r"), col("rank"))
+  }
+
+  // ---- driver contract -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1/F2 tokenize + doc length (SURVEY §2.8)
+    "q_token_count" -> ((s, dir) =>
+      DocsCorpus.tokenized(s, dir)
+        .select(col("doc_id"), size(col("terms")).cast("long").as("n_tokens"))),
+
+    // corpus stats (A2: avgdl, N)
+    "q_corpus_stats" -> ((s, dir) => {
+      val dls = InvertedIndex.docLens(DocsCorpus.tokenized(s, dir))
+      InvertedIndex.corpusStats(dls)
+        .select(col("n"), round(col("avgdl"), 6).as("avgdl_r"))
+    }),
+
+    // A1 term-frequency postings
+    "q_postings" -> ((s, dir) =>
+      InvertedIndex.postings(DocsCorpus.tokenized(s, dir))
+        .select(col("doc_id"), col("term"), col("tf"))),
+
+    // A2 document frequency + eps-floored idf
+    "q_df_idf" -> ((s, dir) => {
+      val (_, post, _, n, _, _) = corpus(s, dir)
+      InvertedIndex.idfTable(InvertedIndex.docFreq(post), n, P)
+        .select(col("term"), col("df"), round(col("idf"), 6).as("idf_r"))
+    }),
+
+    // F9 exhaustive BM25 scores for the fixed query battery
+    "q_bm25_scores" -> ((s, dir) =>
+      bm25Scores(s, dir)
+        .select(col("doc_id"), round(col("score"), 4).as("score_r"))),
+
+    // T1/W1 BM25 top-k with pinned docId-asc tiebreak
+    "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, 10))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val ctes = DocsCorpus.oracleCorpusCtes
+    val scoreExpr =
+      """sum(qt.q_mult * idf.idf * tf.tf * (1.2 + 1) /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))""".stripMargin
+    Map(
+      "q_token_count" ->
+        (ctes + "SELECT doc_id, CAST(len(terms) AS BIGINT) AS n_tokens FROM tok"),
+
+      "q_corpus_stats" ->
+        (ctes + "SELECT n, round(avgdl, 6) AS avgdl_r FROM stats"),
+
+      "q_postings" ->
+        (ctes + "SELECT doc_id, term, tf FROM tf"),
+
+      "q_df_idf" ->
+        (ctes + "SELECT term, df, round(idf, 6) AS idf_r FROM idf"),
+
+      "q_bm25_scores" ->
+        (ctes +
+          s"""SELECT tf.doc_id, round($scoreExpr, 4) AS score_r
+             |FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |GROUP BY tf.doc_id""".stripMargin),
+
+      "q_bm25_topk" ->
+        (ctes +
+          s""", scored AS (
+             |  SELECT tf.doc_id, round($scoreExpr, 4) AS score_r
+             |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |  GROUP BY tf.doc_id
+             |), ranked AS (
+             |  SELECT doc_id, score_r,
+             |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
+    )
+  }
 }

@@ -1,0 +1,120 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Bm25Params
+
+/** Declarative (DataFrame/Catalyst) inverted-index construction and
+  * exhaustive BM25 scoring.
+  *
+  * This is the *logical* index: flat postings `(term, doc_id, tf)`, doc
+  * lengths, corpus stats and the eps-floored idf table, all as DataFrames so
+  * Catalyst gets predicate pushdown / partial aggregation / broadcast
+  * selection for free. The physically packed, block-compressed index used by
+  * the WAND kernel lives in [[graft.index.PackedIndex]]; this flat form is
+  * the correctness oracle and the build front-end (the packed form is derived
+  * from these DataFrames).
+  *
+  * Reference semantics: BM25Okapi construction invoked at
+  * `/root/reference/src/retrievals/models/retrieval_auto.py:384` — tf per
+  * (doc, term), df per term, corpus avgdl, idf with epsilon floor (see
+  * [[graft.core.Bm25]]).
+  *
+  * Scale notes (100 TB / 10^12 docs):
+  *  - `explode(terms)` + `groupBy(doc_id, term)` is a map-side-combinable
+  *    hash aggregation; the only shuffle is on (doc_id, term) which is
+  *    near-uniform (doc_id dominates the key) — no stopword skew here.
+  *  - df aggregation shuffles on `term` alone, which IS skewed in key
+  *    frequency but not in bytes-per-key (one long per posting); partial
+  *    aggregation collapses each map partition to one row per term first,
+  *    so the reduce side sees at most numPartitions rows per term.
+  *  - the idf table is vocabulary-sized (≪ corpus) and is broadcast.
+  */
+object InvertedIndex {
+
+  /** (doc_id LONG, terms ARRAY<STRING>) from a text column. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               lowercase: Boolean = false, stopwords: Seq[String] = Nil): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.tokenize.PyTokenize.tokens(col(textCol), lowercase, stopwords).as("terms"))
+
+  /** Flat postings (term, doc_id, tf) — operator A1 in SURVEY §2.4. */
+  def postings(tokenized: DataFrame): DataFrame =
+    tokenized
+      .select(col("doc_id"), explode(col("terms")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, dl) document lengths in tokens. */
+  def docLens(tokenized: DataFrame): DataFrame =
+    tokenized.select(col("doc_id"), size(col("terms")).cast("long").as("dl"))
+
+  /** Single-row corpus stats (n, avgdl) — broadcast at query time. */
+  def corpusStats(docLensDf: DataFrame): DataFrame =
+    docLensDf.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+
+  /** (term, df) document frequency — operator A2. */
+  def docFreq(postingsDf: DataFrame): DataFrame =
+    postingsDf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** (term, df, idf) with the rank_bm25 epsilon floor. `n` is the corpus
+    * size; the floor constant is `epsilon * avg(raw idf over whole vocab)`.
+    * Two tiny aggregations over a vocabulary-sized table — cheap at any
+    * corpus scale.
+    */
+  def idfTable(docFreqDf: DataFrame, n: Long, p: Bm25Params = Bm25Params()): DataFrame = {
+    val raw = docFreqDf.withColumn(
+      "raw_idf", log(lit(n.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
+    val avgIdf = raw.agg(avg(col("raw_idf"))).first().getDouble(0)
+    val eps = p.epsilon * avgIdf
+    raw.withColumn("idf",
+        when(col("raw_idf") < 0.0, lit(eps)).otherwise(col("raw_idf")))
+      .select(col("term"), col("df"), col("idf"))
+  }
+
+  /** BM25 contribution column over (tf, dl) given broadcastable idf/avgdl. */
+  def bm25Term(idf: Column, tf: Column, dl: Column, avgdl: Column, p: Bm25Params): Column =
+    idf * tf * lit(p.k1 + 1.0) /
+      (tf + lit(p.k1) * (lit(1.0) - lit(p.b) + lit(p.b) * dl / avgdl))
+
+  /** Exhaustive BM25 scores for one query (list of raw tokens, duplicates
+    * count per occurrence) over the whole corpus — semantics of
+    * `bm25.get_scores` at retrieval_auto.py:391. Returns
+    * (doc_id, score) for every doc containing at least one query term;
+    * docs with no overlap score 0.0 in the reference and are omitted here
+    * (callers needing the dense vector can right-join docLens with
+    * coalesce(score, 0)).
+    *
+    * Plan shape: postings filtered by the tiny query-term set (predicate
+    * pushdown to the source), broadcast-joined to the (terms × multiplicity)
+    * table and the idf table, then one hash aggregation by doc_id.
+    */
+  def scoreQuery(postingsDf: DataFrame, idfDf: DataFrame, docLensDf: DataFrame,
+                 avgdl: Double, queryTerms: Seq[String],
+                 p: Bm25Params = Bm25Params()): DataFrame = {
+    val spark = postingsDf.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .toDF("term", "q_mult")
+    postingsDf
+      .join(broadcast(qt), "term")
+      .join(broadcast(idfDf.select(col("term"), col("idf"))), "term")
+      .join(docLensDf, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("q_mult") *
+        bm25Term(col("idf"), col("tf"), col("dl"), lit(avgdl), p)).as("score"))
+  }
+
+  /** Rank the scored docs: score desc, doc_id asc tiebreak (pinned for
+    * determinism — SURVEY §2.5 W1), keep top k. The single-partition window
+    * is fine because its input is already reduced to one row per matched doc
+    * per query; for the multi-query batched path see
+    * [[graft.query.Bm25Query]] which windows per query_id.
+    */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
