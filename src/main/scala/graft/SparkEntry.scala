@@ -83,7 +83,24 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score_r"))),
 
     // T1/W1 BM25 top-k with pinned docId-asc tiebreak
-    "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, 10))
+    "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, 10)),
+
+    // J7/T4: packed block-max WAND path, end-to-end (build packed index,
+    // query via the doc-sharded WAND kernel, merge per-shard top-k). Same
+    // oracle as q_bm25_topk — proves the physical path is rank-identical.
+    "q_bm25_wand_topk" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-wand-q").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      val hits = graft.query.Wand.search(s, idxDir,
+        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
+      // re-rank on the ROUNDED score so tie order matches the SQL oracle
+      val w = Window.orderBy(col("score_r").desc, col("doc_id").asc)
+      hits.withColumn("score_r", round(col("score"), 4))
+        .select(col("doc_id"), col("score_r"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -122,6 +139,18 @@ object SparkEntry {
              |  FROM scored
              |)
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
+    ) ++ Map(
+      "q_bm25_wand_topk" -> (ctes +
+        s""", scored AS (
+           |  SELECT tf.doc_id, round($scoreExpr, 4) AS score_r
+           |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, score_r,
+           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
     )
   }
 }

@@ -42,6 +42,25 @@ object Bm25 {
   def termScoreUpperBound(idf: Double, p: Bm25Params): Double =
     idf * (p.k1 + 1.0)
 
+  /** Vocabulary-average raw idf (the epsilon-floor base), defined
+    * order-independently: rawIdf depends only on df, so the average is
+    * computed over the (df -> termCount) histogram in ascending-df order.
+    * rank_bm25 sums in Python-dict insertion order, which no distributed
+    * engine can reproduce bit-for-bit; this engine PINS the histogram
+    * definition (mathematically equal, deterministic at any parallelism) and
+    * uses it in both the in-JVM oracle and the distributed build, so
+    * engine == oracle is exact down to the ulp.
+    */
+  def avgRawIdfFromHistogram(histogram: Seq[(Long, Long)], n: Long): Double = {
+    var sum = 0.0
+    var terms = 0L
+    histogram.sortBy(_._1).foreach { case (df, cnt) =>
+      sum += cnt * rawIdf(n, df)
+      terms += cnt
+    }
+    if (terms == 0) 0.0 else sum / terms
+  }
+
   /** In-memory exhaustive BM25 index over a small corpus — the test oracle.
     * Mirrors rank_bm25.BM25Okapi construction order exactly (single process,
     * vocabulary in first-seen order is irrelevant because average_idf is a sum).
@@ -67,8 +86,9 @@ object Bm25 {
 
     val idf: Map[String, Double] = {
       val raw = df.map { case (t, f) => t -> rawIdf(n, f) }
-      val avgIdf = if (raw.isEmpty) 0.0 else raw.valuesIterator.sum / raw.size
-      val eps = p.epsilon * avgIdf
+      val hist = df.valuesIterator.toSeq.groupBy(identity)
+        .map { case (d, xs) => d -> xs.size.toLong }.toSeq
+      val eps = p.epsilon * avgRawIdfFromHistogram(hist, n)
       raw.map { case (t, v) => t -> (if (v < 0) eps else v) }
     }
 

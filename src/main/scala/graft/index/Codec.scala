@@ -1,0 +1,131 @@
+package graft.index
+
+import java.io.ByteArrayOutputStream
+
+/** Posting-list block codec: delta + unsigned LEB128 varint.
+  *
+  * Physical layout of one packed posting list (per (shard, term)):
+  * an array of blocks, each holding up to `blockSize` postings sorted by
+  * docId with
+  *   - docs: varint(delta(docId))   (first delta is docId - blockBase)
+  *   - tfs:  varint(tf)
+  *   - dls:  varint(dl)             (doc length inline — keeps blocks
+  *                                   self-contained for scoring; costs
+  *                                   ~1 byte/posting vs a per-shard dl
+  *                                   sidecar, trades bytes for zero extra
+  *                                   lookups and simpler resume)
+  *   - maxDocId: skip pointer (block-level skipping)
+  *   - maxTfNorm: max over the block of tf / (tf + k1*(1-b+b*dl/avgdl)) —
+  *     the idf-independent part of the BM25 upper bound. A term's block
+  *     upper bound at query time is idf*(k1+1)*maxTfNorm (exact for
+  *     idf > 0; for idf <= 0 the bound 0 is used since contributions are
+  *     non-positive). Baking the norm instead of the score keeps the pack
+  *     stage free of any vocabulary-wide df/idf join.
+  *
+  * The long-posting-list splitting required by the north rule falls out of
+  * this structure: a hot term's postings within a shard are split into many
+  * independent blocks, and across shards by doc-partitioning.
+  */
+object Codec {
+
+  final val DefaultBlockSize = 128
+
+  // ---- varint ----------------------------------------------------------
+
+  def writeVarLong(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    require(v >= 0, s"varint requires non-negative, got $v")
+    while ((v & ~0x7FL) != 0L) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Decode all varints in a byte array into `n` longs. */
+  def readVarLongs(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xFF
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  // ---- blocks ----------------------------------------------------------
+
+  /** One packed block. `baseDocId` is the first docId (deltas start there). */
+  final case class Block(
+      baseDocId: Long,
+      maxDocId: Long,
+      count: Int,
+      maxTfNorm: Double,
+      docs: Array[Byte],
+      tfs: Array[Byte],
+      dls: Array[Byte]) {
+
+    def decodeDocIds: Array[Long] = {
+      val deltas = readVarLongs(docs, count)
+      val out = new Array[Long](count)
+      var acc = baseDocId
+      var i = 0
+      while (i < count) {
+        acc += deltas(i) // deltas(0) == 0
+        out(i) = acc
+        i += 1
+      }
+      out
+    }
+    def decodeTfs: Array[Long] = readVarLongs(tfs, count)
+    def decodeDls: Array[Long] = readVarLongs(dls, count)
+  }
+
+  /** Pack sorted postings (docId asc) into blocks.
+    * @param tfNorm  (tf, dl) => the idf-independent score part, used for the
+    *                per-block upper bound.
+    */
+  def pack(docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
+           tfNorm: (Long, Long) => Double,
+           blockSize: Int = DefaultBlockSize): IndexedSeq[Block] = {
+    require(docIds.length == tfs.length && tfs.length == dls.length)
+    val n = docIds.length
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + blockSize, n)
+      val base = docIds(start)
+      val docsB = new ByteArrayOutputStream()
+      val tfsB = new ByteArrayOutputStream()
+      val dlsB = new ByteArrayOutputStream()
+      var maxNorm = 0.0
+      var prev = base
+      var i = start
+      while (i < end) {
+        val d = docIds(i)
+        require(i == start || d > prev, s"docIds must be strictly increasing: $prev -> $d")
+        writeVarLong(docsB, d - (if (i == start) base else prev))
+        prev = d
+        writeVarLong(tfsB, tfs(i))
+        writeVarLong(dlsB, dls(i))
+        val norm = tfNorm(tfs(i), dls(i))
+        if (norm > maxNorm) maxNorm = norm
+        i += 1
+      }
+      blocks += Block(base, docIds(end - 1), end - start, maxNorm,
+        docsB.toByteArray, tfsB.toByteArray, dlsB.toByteArray)
+      start = end
+    }
+    blocks.toIndexedSeq
+  }
+}

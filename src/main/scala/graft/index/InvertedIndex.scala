@@ -51,9 +51,14 @@ object InvertedIndex {
   def docLens(tokenized: DataFrame): DataFrame =
     tokenized.select(col("doc_id"), size(col("terms")).cast("long").as("dl"))
 
-  /** Single-row corpus stats (n, avgdl) — broadcast at query time. */
+  /** Single-row corpus stats (n, avgdl) — broadcast at query time.
+    * avgdl is exact-Long-sum / count (order-independent, deterministic at
+    * any parallelism), matching the in-JVM oracle bit-for-bit; a
+    * double-accumulating avg() would drift by ulps with partitioning.
+    */
   def corpusStats(docLensDf: DataFrame): DataFrame =
-    docLensDf.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    docLensDf.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
   /** (term, df) document frequency — operator A2. */
   def docFreq(postingsDf: DataFrame): DataFrame =
@@ -65,13 +70,24 @@ object InvertedIndex {
     * corpus scale.
     */
   def idfTable(docFreqDf: DataFrame, n: Long, p: Bm25Params = Bm25Params()): DataFrame = {
-    val raw = docFreqDf.withColumn(
-      "raw_idf", log(lit(n.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
-    val avgIdf = raw.agg(avg(col("raw_idf"))).first().getDouble(0)
-    val eps = p.epsilon * avgIdf
-    raw.withColumn("idf",
+    val eps = p.epsilon * avgRawIdf(docFreqDf, n)
+    docFreqDf
+      .withColumn("raw_idf",
+        log(lit(n.toDouble) - col("df") + 0.5) - log(col("df") + 0.5))
+      .withColumn("idf",
         when(col("raw_idf") < 0.0, lit(eps)).otherwise(col("raw_idf")))
       .select(col("term"), col("df"), col("idf"))
+  }
+
+  /** Deterministic vocabulary-average raw idf via the (df -> termCount)
+    * histogram (see [[graft.core.Bm25.avgRawIdfFromHistogram]]). The
+    * histogram has one row per distinct df value — tiny relative to the
+    * vocabulary even at web scale.
+    */
+  def avgRawIdf(docFreqDf: DataFrame, n: Long): Double = {
+    val hist = docFreqDf.groupBy(col("df")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    graft.core.Bm25.avgRawIdfFromHistogram(hist, n)
   }
 
   /** BM25 contribution column over (tf, dl) given broadcastable idf/avgdl. */

@@ -1,0 +1,297 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.index.{IndexStats, PackedBlock, PackedIndex, PackedPostings}
+
+/** Block-max WAND top-k over the packed, doc-sharded index.
+  *
+  * Physical plan:
+  *   packed postings scan, `term IN (query terms)` pushed to parquet
+  *     -> groupByKey(shard)  (shuffle proportional to the MATCHED postings
+  *        only, guaranteeing every query term of a doc range is co-located
+  *        even if file splits would have torn a shard apart)
+  *     -> flatMapGroups: per-shard DAAT WAND with per-list and per-block
+  *        upper bounds, one bounded heap per (query, shard)
+  *     -> per-query global rank over numShards*k candidate rows (tiny).
+  *
+  * Rank/score parity with the exhaustive reference semantics
+  * (`/root/reference/src/retrievals/models/retrieval_auto.py:391-393`) is
+  * exact, not approximate: pruning only skips docs whose upper bound is
+  * STRICTLY below the current heap threshold, and full evaluation sums term
+  * contributions in original query-token order, reproducing the oracle's
+  * floating-point summation bit-for-bit. Ties break by docId asc everywhere.
+  *
+  * The reference's physical analogue is exhaustive scoring of all docs; this
+  * kernel is the engine's scale improvement (SURVEY §4) and is verified
+  * rank-identical by Wand == Oracle property tests.
+  */
+object Wand {
+
+  /** One query prepared for the kernel. `tokens` is the raw token sequence
+    * (repeats preserved — each occurrence scores, matching the reference's
+    * per-occurrence loop); `idf` maps each distinct matched term.
+    */
+  final case class PreparedQuery(queryId: Long, tokens: Array[String],
+                                 idf: Map[String, Double])
+
+  final case class Hit(query_id: Long, doc_id: Long, score: Double)
+
+  /** Prepare a query batch: look up global df for the union of query terms
+    * (one pushdown-filtered scan of the small df table), compute eps-floored
+    * idf from IndexStats. Driver-side work is O(|distinct query terms|).
+    */
+  def prepare(spark: SparkSession, indexDir: String,
+              queries: Seq[(Long, String)]): (IndexStats, Seq[PreparedQuery]) = {
+    val stats = PackedIndex.readStats(indexDir)
+    val tokenized = queries.map { case (id, text) =>
+      id -> graft.tokenize.PyTokenize.split(text)
+    }
+    val allTerms = tokenized.flatMap(_._2).distinct
+    val dfMap: Map[String, Long] =
+      if (allTerms.isEmpty) Map.empty
+      else PackedIndex.loadDf(spark, indexDir)
+        .filter(col("term").isin(allTerms: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prepared = tokenized.map { case (id, toks) =>
+      val idf = toks.distinct.flatMap { t =>
+        dfMap.get(t).map(df => t -> stats.idf(df))
+      }.toMap
+      PreparedQuery(id, toks, idf)
+    }
+    (stats, prepared)
+  }
+
+  /** Distributed search: per-shard WAND + global rank. Returns
+    * (query_id, doc_id, score, rank), rank 1..k.
+    */
+  def search(spark: SparkSession, indexDir: String,
+             queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val (stats, prepared) = prepare(spark, indexDir, queries)
+    val terms = prepared.flatMap(_.idf.keys).distinct
+    import spark.implicits._
+    if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
+      .withColumn("rank", lit(1)).limit(0)
+    val bc = spark.sparkContext.broadcast((stats, prepared))
+    val matched = PackedIndex.loadPostings(spark, indexDir)
+      .filter(col("term").isin(terms: _*))
+      .as[PackedPostings]
+    val hits: Dataset[Hit] = matched
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val (st, qs) = bc.value
+        shardSearch(rows, qs, st, k)
+      }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    hits.toDF().withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ---- per-shard kernel ------------------------------------------------
+
+  /** Cursor over one term's packed blocks within a shard. Decodes a block
+    * lazily on first positioning inside it; skips whole blocks via maxDoc.
+    */
+  private final class Cursor(val term: String, val weightedIdf: Double,
+                             blocks: Array[PackedBlock]) {
+    // list-level upper bound (used for pivot selection)
+    val listUb: Double = {
+      var m = 0.0
+      var i = 0
+      while (i < blocks.length) { if (blocks(i).maxTfNorm > m) m = blocks(i).maxTfNorm; i += 1 }
+      m
+    }
+    private var bi = 0
+    private var pi = 0
+    private var docIds: Array[Long] = null
+    private var tfs: Array[Long] = null
+    private var dls: Array[Long] = null
+    var curDoc: Long = -1L
+    loadAndPosition()
+
+    private def decode(): Unit = {
+      val b = blocks(bi)
+      val codec = graft.index.Codec
+      val deltas = codec.readVarLongs(b.docs, b.count)
+      docIds = new Array[Long](b.count)
+      var acc = b.base
+      var i = 0
+      while (i < b.count) { acc += deltas(i); docIds(i) = acc; i += 1 }
+      tfs = codec.readVarLongs(b.tfs, b.count)
+      dls = codec.readVarLongs(b.dls, b.count)
+    }
+
+    private def loadAndPosition(): Unit = {
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+      if (docIds == null) decode()
+      curDoc = docIds(pi)
+    }
+
+    def exhausted: Boolean = curDoc == Long.MaxValue
+
+    /** List-level score upper bound. Clamped at 0 for negative idf (a term
+      * whose contributions are all non-positive can never push a doc above
+      * the threshold; its true max is nearer 0 than weightedIdf*maxNorm, so
+      * the unclamped product would UNDER-estimate and prune wrongly).
+      */
+    def listBound: Double =
+      if (weightedIdf > 0) weightedIdf * listUb else 0.0
+
+    /** Current block's score upper bound (same clamping). */
+    def blockUb: Double =
+      if (exhausted || weightedIdf <= 0) 0.0 else weightedIdf * blocks(bi).maxTfNorm
+
+    def tf: Long = tfs(pi)
+    def dl: Long = dls(pi)
+
+    /** Advance to the first doc >= target. Block-skipping via maxDoc. */
+    def seek(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      // skip whole blocks
+      while (bi < blocks.length && blocks(bi).maxDoc < target) {
+        bi += 1; pi = 0; docIds = null
+      }
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+      if (docIds == null) decode()
+      // binary search within block
+      var lo = pi
+      var hi = docIds.length - 1
+      if (docIds(lo) < target) {
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (docIds(mid) < target) lo = mid + 1 else hi = mid
+        }
+        pi = lo
+      }
+      curDoc = docIds(pi)
+    }
+
+    def next(): Unit = {
+      if (exhausted) return
+      pi += 1
+      if (pi >= docIds.length) { bi += 1; pi = 0; docIds = null; loadAndPosition() }
+      else curDoc = docIds(pi)
+    }
+  }
+
+  /** Bounded top-k heap keeping the k best under (score desc, docId asc);
+    * root is the WORST kept entry.
+    */
+  private final class TopKHeap(k: Int) {
+    private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      // "smaller" = worse = lower score, then larger docId
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
+    private val pq = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord.reverse)
+    def size: Int = pq.size
+    def threshold: Double = if (pq.size < k) Double.NegativeInfinity else pq.head._1
+    /** Would (score, doc) enter the heap? (strict order comparison) */
+    def accepts(score: Double, doc: Long): Boolean =
+      pq.size < k || ord.compare((score, doc), pq.head) > 0
+    def offer(score: Double, doc: Long): Unit = {
+      if (pq.size < k) pq.enqueue((score, doc))
+      else if (ord.compare((score, doc), pq.head) > 0) { pq.dequeue(); pq.enqueue((score, doc)) }
+    }
+    def drain(): List[(Double, Long)] = pq.dequeueAll.toList
+  }
+
+  /** WAND over one shard's matched rows for every query in the batch. */
+  def shardSearch(rows: Iterator[PackedPostings], queries: Seq[PreparedQuery],
+                  stats: IndexStats, k: Int): Iterator[Hit] = {
+    val byTerm = scala.collection.mutable.HashMap.empty[String, Array[PackedBlock]]
+    rows.foreach(r => byTerm.update(r.term, r.blocks))
+    val p = stats.params
+    val kEff = if (k > 0) k else Int.MaxValue
+    queries.iterator.flatMap { q =>
+      // distinct matched terms with occurrence multiplicity; weightedIdf
+      // folds the multiplicity so bounds stay per-distinct-cursor
+      val multiplicity = q.tokens.groupBy(identity).map { case (t, a) => t -> a.length }
+      val cursors: Array[Cursor] = q.idf.iterator.collect {
+        case (t, idf) if byTerm.contains(t) && idf != 0.0 =>
+          new Cursor(t, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
+      }.toArray
+      if (cursors.isEmpty) Iterator.empty
+      else {
+        val heap = new TopKHeap(kEff)
+        wandLoop(cursors, q, heap, stats)
+        heap.drain().map { case (s, d) => Hit(q.queryId, d, s) }
+      }
+    }
+  }
+
+  /** Full evaluation of one doc: iterate the ORIGINAL token sequence so the
+    * floating-point accumulation order matches the exhaustive oracle
+    * bit-for-bit (Bm25.Oracle.scores adds per occurrence in query order).
+    */
+  private def evalDoc(doc: Long, q: PreparedQuery,
+                      byTerm: scala.collection.Map[String, Cursor],
+                      stats: IndexStats): Double = {
+    val p = stats.params
+    var score = 0.0
+    var i = 0
+    while (i < q.tokens.length) {
+      val c = byTerm.get(q.tokens(i)).orNull
+      if (c != null && c.curDoc == doc) {
+        val idf = q.idf(c.term)
+        score += graft.core.Bm25.termScore(idf, c.tf, c.dl, stats.avgdl, p)
+      }
+      i += 1
+    }
+    score
+  }
+
+  private def wandLoop(cursors: Array[Cursor], q: PreparedQuery,
+                       heap: TopKHeap, stats: IndexStats): Unit = {
+    val byTerm: Map[String, Cursor] = cursors.map(c => c.term -> c).toMap
+    val active = scala.collection.mutable.ArrayBuffer.empty[Cursor]
+    cursors.foreach(c => if (!c.exhausted) active += c)
+    while (active.nonEmpty) {
+      // sort by current doc (small arrays; |query terms| is tiny)
+      val sorted = active.sortBy(_.curDoc)
+      val theta = heap.threshold
+      // pivot: first prefix whose LIST-level ub sum could beat theta
+      var acc = 0.0
+      var pivotIdx = -1
+      var i = 0
+      while (i < sorted.length && pivotIdx < 0) {
+        acc += sorted(i).listBound
+        if (acc >= theta) pivotIdx = i // >= : equal-score docs can still win by docId
+        i += 1
+      }
+      if (pivotIdx < 0) return // no remaining doc can enter the heap
+      val pivotDoc = sorted(pivotIdx).curDoc
+      if (sorted(0).curDoc == pivotDoc) {
+        // all cursors before pivot are aligned at pivotDoc:
+        // refine with BLOCK-level bounds before full evaluation
+        var blockAcc = 0.0
+        var j = 0
+        while (j <= pivotIdx) { sorted(j).seek(pivotDoc); blockAcc += sorted(j).blockUb; j += 1 }
+        // include later cursors that happen to sit on pivotDoc
+        while (j < sorted.length && sorted(j).curDoc == pivotDoc) { blockAcc += sorted(j).blockUb; j += 1 }
+        if (blockAcc >= theta) {
+          val s = evalDoc(pivotDoc, q, byTerm, stats)
+          heap.offer(s, pivotDoc)
+        }
+        // advance every cursor sitting on pivotDoc
+        active.foreach(c => if (c.curDoc == pivotDoc) c.next())
+      } else {
+        // seek cursors before the pivot up to pivotDoc
+        var j = 0
+        while (j < pivotIdx) { sorted(j).seek(pivotDoc); j += 1 }
+      }
+      // compact exhausted cursors
+      var w = 0
+      var r = 0
+      while (r < active.length) {
+        if (!active(r).exhausted) { active(w) = active(r); w += 1 }
+        r += 1
+      }
+      active.dropRightInPlace(active.length - w)
+    }
+  }
+}

@@ -1,0 +1,166 @@
+package graft
+
+import graft.core.{Bm25, Bm25Params}
+import graft.index.{Codec, DocIds, InvertedIndex, PackedIndex}
+import graft.query.Wand
+import java.nio.file.Files
+
+/** Packed-postings codec round-trip + WAND == exhaustive-oracle rank parity
+  * (FIXTURES.md §5). Property-style tests use seeded random generation (the
+  * offline cache lacks the scalatest-scalacheck bridge).
+  */
+class PackedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = Bm25Params()
+
+  // ---- codec -----------------------------------------------------------
+
+  test("codec round-trip: pack then unpack is identity (property)") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 200) {
+      val n = 1 + rnd.nextInt(400)
+      val start = math.abs(rnd.nextLong()) % (1L << 40)
+      val docs = new Array[Long](n)
+      var acc = start
+      for (i <- 0 until n) { acc += 1 + rnd.nextInt(1000); docs(i) = acc }
+      val tfs = Array.fill(n)(1L + rnd.nextInt(50))
+      val dls = Array.fill(n)(1L + rnd.nextInt(500))
+      val norm = (tf: Long, dl: Long) => tf.toDouble / (tf + dl)
+      val blocks = Codec.pack(docs, tfs, dls, norm, blockSize = 64)
+      val gotDocs = blocks.flatMap(_.decodeDocIds).toArray
+      val gotTfs = blocks.flatMap(_.decodeTfs).toArray
+      val gotDls = blocks.flatMap(_.decodeDls).toArray
+      assert(gotDocs.sameElements(docs))
+      assert(gotTfs.sameElements(tfs))
+      assert(gotDls.sameElements(dls))
+      // block invariants: maxDoc is the block's last docId; maxTfNorm is the max
+      blocks.foreach { b =>
+        val ds = b.decodeDocIds; val ts = b.decodeTfs; val ls = b.decodeDls
+        assert(b.maxDocId == ds.last)
+        val m = ts.zip(ls).map { case (t, l) => norm(t, l) }.max
+        assert(math.abs(b.maxTfNorm - m) < 1e-15)
+      }
+    }
+  }
+
+  test("varint encodes full Long range boundaries") {
+    val vals = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong,
+      (1L << 62) - 1, Long.MaxValue)
+    val out = new java.io.ByteArrayOutputStream()
+    vals.foreach(Codec.writeVarLong(out, _))
+    assert(Codec.readVarLongs(out.toByteArray, vals.length).toSeq == vals)
+  }
+
+  // ---- shared corpus for index tests ----------------------------------
+
+  private def randomCorpus(nDocs: Int, vocab: Int, seed: Int,
+                           zipf: Double = 2.0): IndexedSeq[Array[String]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.tabulate(nDocs) { _ =>
+      val len = 1 + rnd.nextInt(60)
+      Array.fill(len) {
+        val i = math.min((math.pow(rnd.nextDouble(), zipf) * vocab).toInt, vocab - 1)
+        s"t$i"
+      }
+    }
+  }
+
+  private def buildIndex(docs: IndexedSeq[Array[String]], dir: String,
+                         shardBits: Int, groups: Int): Unit = {
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val tok = InvertedIndex.tokenize(df, "doc_id", "text")
+    PackedIndex.build(tok, dir, shardBits = shardBits, groups = groups, p = P)
+  }
+
+  test("WAND top-k is rank- and score-identical to the exhaustive oracle") {
+    val docs = randomCorpus(nDocs = 1000, vocab = 200, seed = 7)
+    val oracle = new Bm25.Oracle(docs, P)
+    val dir = Files.createTempDirectory("graft-idx").toString
+    buildIndex(docs, dir, shardBits = 8, groups = 3) // 4 shards, 3 groups
+
+    val queries: Seq[(Long, String)] = Seq(
+      1L -> "t0 t1",                       // two hot terms
+      2L -> "t150 t180 t199",              // rare terms
+      3L -> "t0 t0 t42",                   // repeated term
+      4L -> "t5 absent_term t9",           // with absent term
+      5L -> "t0 t1 t2 t3 t4 t5 t6",        // many terms
+      6L -> "absent_only",                 // nothing matches
+      7L -> "t199")                        // possibly tiny df
+    val k = 10
+    val got = Wand.search(spark, dir, queries, k).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+
+    queries.foreach { case (qid, text) =>
+      val want = oracle.topK(text.split(" ").toSeq, k).filter(_._2 != 0.0)
+      val g = got.getOrElse(qid, Seq.empty)
+      assert(g.map(_._1) == want.map(_._1), s"rank order mismatch for q$qid: got=$g want=$want")
+      g.zip(want).foreach { case ((gd, gs), (wd, ws)) =>
+        assert(gd == wd)
+        assert(gs == ws, s"score not bit-identical for q$qid doc $gd: $gs vs $ws")
+      }
+    }
+  }
+
+  test("WAND parity under heavy stopword skew (salt/split stress)") {
+    // 90% of tokens drawn from 3 stopwords -> giant posting lists
+    val rnd = new scala.util.Random(11)
+    val stop = Array("the", "of", "and")
+    val docs = IndexedSeq.tabulate(800) { _ =>
+      val len = 5 + rnd.nextInt(40)
+      Array.fill(len) {
+        if (rnd.nextDouble() < 0.9) stop(rnd.nextInt(3)) else s"w${rnd.nextInt(100)}"
+      }
+    }
+    val oracle = new Bm25.Oracle(docs, P)
+    val dir = Files.createTempDirectory("graft-idx-skew").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    val queries = Seq(1L -> "the w5", 2L -> "the of and", 3L -> "w1 w2 the")
+    val got = Wand.search(spark, dir, queries, 15).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+    queries.foreach { case (qid, text) =>
+      val want = oracle.topK(text.split(" ").toSeq, 15).filter(_._2 != 0.0)
+      assert(got(qid) == want, s"skew parity failed for q$qid")
+    }
+  }
+
+  test("build is resumable: completed groups are skipped, result identical") {
+    val docs = randomCorpus(nDocs = 300, vocab = 80, seed = 3)
+    val dir = Files.createTempDirectory("graft-idx-resume").toString
+    val first = buildIndex(docs, dir, shardBits = 7, groups = 3)
+    // simulate a crash that lost group 1's manifest AND data
+    val g1 = new java.io.File(s"$dir/postings/grp=1")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(g1)
+    Files.delete(java.nio.file.Path.of(s"$dir/manifest/group-1.json"))
+    // resume: groups 0 and 2 must be skipped (manifests exist), 1 rebuilt
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val tok = InvertedIndex.tokenize(df, "doc_id", "text")
+    val t0 = System.nanoTime()
+    val manifests = PackedIndex.build(tok, dir, shardBits = 7, groups = 3, p = P)
+    assert(manifests.size == 3)
+    // full parity after resume
+    val oracle = new Bm25.Oracle(docs, P)
+    val got = Wand.search(spark, dir, Seq(1L -> "t0 t5 t10"), 5).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val want = oracle.topK(Seq("t0", "t5", "t10"), 5).filter(_._2 != 0.0)
+    assert(got == want)
+  }
+
+  test("dense docId assignment is 0..N-1 without shuffle of the data") {
+    val df = (0 until 1000).map(i => (s"u$i", i % 7)).toDF("url", "x")
+      .repartition(6)
+    val withIds = DocIds.assignDense(df)
+    val ids = withIds.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 1000L))
+  }
+}
