@@ -52,7 +52,11 @@ object SparkEntry {
 
   // ---- driver contract -------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    graft.contract.PipelineQueries.queries ++
+    graft.contract.DataOpsQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1/F2 tokenize + doc length (SURVEY §2.8)
     "q_token_count" -> ((s, dir) =>
       DocsCorpus.tokenized(s, dir)
@@ -103,7 +107,11 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = coreOracleSql ++
+    graft.contract.PipelineQueries.oracleSql ++
+    graft.contract.DataOpsQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = {
     val ctes = DocsCorpus.oracleCorpusCtes
     val scoreExpr =
       """sum(qt.q_mult * idf.idf * tf.tf * (1.2 + 1) /

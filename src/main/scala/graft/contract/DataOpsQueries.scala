@@ -1,0 +1,232 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.DocsCorpus
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.text.TextAnalysis
+
+/** Driver-contract queries for the training-data pipeline operators:
+  * deduplication, similarity search, text analysis (prompt-mandated
+  * first-class components beyond the reference inventory).
+  */
+object DataOpsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup on normalized-content fingerprint
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(DocsCorpus.documents(s, dir))
+        .select(col("doc_id"), col("canonical_id"))),
+
+    // n-gram Jaccard near-dup pairs (exact set arithmetic)
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(DocsCorpus.documents(s, dir), n = 3, threshold = 0.05)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))),
+
+    // MinHash-LSH near-dup candidates (xxhash64 — rows-only check)
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(DocsCorpus.documents(s, dir),
+        shingleN = 2, numHashes = 16, bands = 8)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard_r"))),
+
+    // SimHash fingerprints (xxhash64 — rows-only check)
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(DocsCorpus.documents(s, dir))
+        .select(col("doc_id"), col("simhash"))),
+
+    // embedding cosine near-dup pairs, brute-force exact
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(
+        DocsCorpus.table(s, dir, "embeddings"), threshold = 0.15, bruteForce = true)
+        .select(col("doc_a"), col("doc_b"), col("cos"))),
+
+    // brute-force cosine ANN top-k (query vecs = vec_id < 5)
+    "q_ann_cosine_topk" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val hits = Ann.bruteForceTopK(queries, corpus, k = 30)
+      // re-rank on rounded cosine so tie order matches the SQL oracle
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      hits.withColumn("cos_r", round(col("cos"), 4))
+        .select(col("query_id"), col("vec_id"), col("cos_r"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+    }),
+
+    // IVF-style ANN (approximate; rows-only — demonstrates the scale path)
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val centroids = Ann.seedCentroids(corpus, nCells = 16)
+      val withCell = Ann.assignCells(corpus, centroids)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Ann.ivfTopK(queries, withCell, centroids, k = 10, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos_r"),
+          col("rank"))
+    }),
+
+    // text quality features
+    "q_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      DocsCorpus.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        round(TextAnalysis.qualityFeatures(t).toMap.apply("mean_token_len"), 6)
+          .as("mean_tok_len_r"),
+        round(TextAnalysis.qualityFeatures(t).toMap.apply("space_ratio"), 6)
+          .as("space_ratio_r"),
+        TextAnalysis.qualityScore(t).as("quality_r"))
+    }),
+
+    // language-ID heuristic
+    "q_lang_id" -> ((s, dir) =>
+      DocsCorpus.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // content fingerprint (sha256 prefix — reference F12/S8)
+    "q_fingerprint" -> ((s, dir) =>
+      DocsCorpus.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // P1/P5-style filters + U1 union-dedup over document subsets
+    "q_filter_minlen" -> ((s, dir) =>
+      DocsCorpus.documents(s, dir)
+        .filter(length(col("text")) >= 200 && col("lang") === "en")
+        .select(col("doc_id"))),
+
+    "q_union_dedup" -> ((s, dir) => {
+      val docs = DocsCorpus.documents(s, dir)
+      val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id"))
+      val b = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id"))
+      a.union(b).distinct()
+    })
+  )
+
+  private val tokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks, text
+      |  FROM documents
+      |)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         substr(sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS f
+        |  FROM documents)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canonical_id FROM fp""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      (tokCte +
+        """, sh AS (
+          |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+          |  FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+          |  WHERE len(toks) >= 3),
+          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+          |rare AS (SELECT sh.* FROM sh JOIN (
+          |           SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) r USING (shingle)),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+          |  FROM rare a JOIN rare b USING (shingle)
+          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05""".stripMargin),
+
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) ** 2)))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) ** 2)))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.15""".stripMargin,
+
+    "q_ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding AS vec FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(qvec) + 1),
+        |        i -> CAST(qvec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> CAST(qvec[i] AS DOUBLE) ** 2)))
+        |       * sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> CAST(vec[i] AS DOUBLE) ** 2)))), 4) AS cos_r
+        |  FROM q, c),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_r, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(w) > 0
+        |         THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+        |         ELSE 0.0 END AS mtl,
+        |    CASE WHEN len(text) > 0
+        |         THEN CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text)
+        |         ELSE 0.0 END AS sr,
+        |    CASE WHEN len(text) > 0
+        |         THEN CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text)
+        |         ELSE 0.0 END AS pr,
+        |    CASE WHEN len(text) > 0
+        |         THEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text)
+        |         ELSE 0.0 END AS dr
+        |  FROM t)
+        |SELECT doc_id, n_tokens, round(mtl, 6) AS mean_tok_len_r, round(sr, 6) AS space_ratio_r,
+        |       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |             * greatest(0.0, 1.0 - pr * 5.0)
+        |             * greatest(0.0, 1.0 - dr * 5.0), 6) AS quality_r
+        |FROM f""".stripMargin,
+
+    "q_lang_id" ->
+      (tokCte +
+        """, s AS (
+          |  SELECT doc_id,
+          |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu','mit','den'])) AS s_de,
+          |    len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+          |    len(list_intersect(toks, ['el','la','los','las','y','es','un','una','que','por'])) AS s_es,
+          |    len(list_intersect(toks, ['le','la','les','et','est','un','une','des','que','pour'])) AS s_fr
+          |  FROM tok)
+          |SELECT doc_id,
+          |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+          |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+          |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+          |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+          |       ELSE 'fr' END AS lang_pred
+          |FROM s""".stripMargin),
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       substr(sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_filter_minlen" ->
+      "SELECT doc_id FROM documents WHERE len(text) >= 200 AND lang = 'en'",
+
+    "q_union_dedup" ->
+      """SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0) u""".stripMargin
+  )
+}

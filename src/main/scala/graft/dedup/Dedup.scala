@@ -1,0 +1,213 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup is a hash aggregation on a 16-byte fingerprint (never
+  *    shuffles full text);
+  *  - pairwise methods NEVER build the quadratic pair space: candidate
+  *    pairs come from an equi-join on a bucketing key (shingle, LSH band,
+  *    or simhash chunk), with hot buckets dropped by a frequency cap
+  *    (a stopword-shingle bucket would otherwise explode the join);
+  *  - all hashes are xxhash64 (Spark-native, codegen'd, seedable).
+  */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact dedup on normalized content: returns (doc_id, canonical_id)
+    * where canonical is the smallest doc_id sharing the fingerprint.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    fp.withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_id"))
+  }
+
+  /** Only the surviving rows (canonical representatives). */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    exact(docs, idCol, textCol)
+      .filter(col("doc_id") === col("canonical_id")).select(col("doc_id"))
+
+  // ---- word shingles ---------------------------------------------------
+
+  /** (doc_id, shingle) distinct word n-grams per doc. */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = graft.tokenize.PyTokenize.asciiSplit(lower(col(textCol)))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard >= t).
+    * Candidate generation joins docs sharing a RARE shingle (frequency cap
+    * bounds the per-bucket fan-out); Jaccard is then computed exactly from
+    * shingle-set sizes: |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   maxShingleFreq: Int = 1000,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") <= maxShingleFreq).select("shingle"),
+      "shingle")
+    val a = rare.select(col("shingle"), col("doc_id").as("doc_a"))
+    val b = rare.select(col("shingle"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** MinHash signatures: numHashes seeded xxhash64 functions over the
+    * distinct shingle set; signature[i] = min over shingles of
+    * xxhash64(shingle, seed=i). Returned as (doc_id, sig ARRAY<BIGINT>).
+    */
+  def minhashSignatures(shinglesDf: DataFrame, numHashes: Int): DataFrame = {
+    val hashes = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    shinglesDf.groupBy(col("doc_id"))
+      .agg(hashes.head, hashes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: signatures banded into `bands` groups of
+    * rows; docs sharing any band bucket pair up. Returns
+    * (doc_a, doc_b, est_jaccard) with est = fraction of equal signature
+    * positions. Hot buckets capped like shingle buckets.
+    */
+  def minhashLshPairs(docs: DataFrame, shingleN: Int, numHashes: Int,
+                      bands: Int, maxBucketSize: Int = 200,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(shingles(docs, shingleN, idCol, textCol), numHashes)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), lit(-1)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val small = banded.join(
+      banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucketSize).select("band", "bucket"),
+      Seq("band", "bucket"))
+    val a = small.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = small.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double")
+          / lit(numHashes)).as("est_jaccard"))
+      .distinct()
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash from token xxhash64s: bit b of the fingerprint is 1 iff
+    * the sum over tokens of sign(bit b of xxhash64(token)) is positive.
+    * Near-dups = fingerprints within `maxHamming` bits; candidates pair on
+    * 16-bit fingerprint chunks (any chunk equal => candidate; catches all
+    * pairs with hamming <= 3 by pigeonhole over 4 chunks).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = graft.tokenize.PyTokenize.asciiSplit(lower(col(textCol)))
+    val exploded = docs.select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+            x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** Candidate near-dup pairs by 16-bit chunk collision + exact hamming
+    * filter. Returns (doc_a, doc_b, hamming <= maxHamming).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = 200,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val small = chunked.join(
+      chunked.groupBy(col("chunk"), col("ckey")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucketSize).select("chunk", "ckey"),
+      Seq("chunk", "ckey"))
+    val a = small.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = small.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding cosine ------------------------------------------------
+
+  /** Embedding near-dup pairs: cosine >= threshold. Candidates via sign-LSH
+    * (random-hyperplane bit buckets from seeded xxhash64 pseudo-planes) to
+    * avoid the quadratic pair space; exact cosine re-check on candidates.
+    * For corpora small enough, `bruteForce = true` skips bucketing.
+    */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double,
+                           bruteForce: Boolean = false,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val candidates =
+      if (bruteForce) {
+        val a = v.select(col("vec_id").as("doc_a"), col("vec").as("vec_a"))
+        val b = v.select(col("vec_id").as("doc_b"), col("vec").as("vec_b"))
+        a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      } else {
+        val bucketed = v.withColumn("bucket", graft.ann.Ann.signLshBucket(col("vec"), 12, 42))
+        val a = bucketed.select(col("bucket"), col("vec_id").as("doc_a"), col("vec").as("vec_a"))
+        val b = bucketed.select(col("bucket"), col("vec_id").as("doc_b"), col("vec").as("vec_b"))
+        a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+          .drop("bucket").distinct()
+      }
+    candidates
+      .withColumn("cos", graft.ann.Ann.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity-search operator semantics on hand-built fixtures. */
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups whitespace/case-normalized duplicates") {
+    val docs = Seq(
+      (0L, "Hello  World"), (1L, "hello world"), (2L, "different text"),
+      (3L, "  HELLO\tWORLD  "), (4L, "different text")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(1L) == 0L && got(3L) == 0L)
+    assert(got(2L) == 2L && got(4L) == 2L)
+    val survivors = Dedup.exactSurvivors(docs).as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(0L, 2L))
+  }
+
+  test("jaccard pairs computes exact shingle-set jaccard") {
+    val docs = Seq(
+      (0L, "a b c d e"),   // shingles(3): {abc, bcd, cde}
+      (1L, "a b c d x"),   // {abc, bcd, cdx}  -> inter 2, union 4 -> 0.5
+      (2L, "z z z z z"))   // {zzz} distinct
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, n = 3, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1)
+    assert(got(0)._1 == 0L && got(0)._2 == 1L && math.abs(got(0)._3 - 0.5) < 1e-9)
+  }
+
+  test("minhash-LSH finds high-jaccard pairs and skips disjoint docs") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (0 until 30).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val disjoint = (100 until 130).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, disjoint)).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(docs, shingleN = 2, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.5),
+      s"near-dup pair not found: ${got.mkString(",")}")
+    assert(!got.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("simhash: identical docs equal, near docs close, disjoint docs far") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 40).map(i => if (i == 3) "x" else s"tok$i").mkString(" ")
+    val far = (200 until 240).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) == 0)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("brute-force cosine top-k is exact and deterministically tie-broken") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f))) // identical direction to 0 -> tie with doc 0
+      .toDF("vec_id", "vec")
+    val queries = Seq((9L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
+    val got = Ann.bruteForceTopK(queries, corpus, k = 4).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(got.map(_._1).toSeq == Seq(0L, 4L, 2L, 1L)) // tie 0 vs 4 -> id asc
+    assert(math.abs(got(0)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(2)._2 - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("IVF top-k recall vs brute force is high at moderate nProbe") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "vec")
+    val queries = (0 until 5).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("query_id", "qvec")
+    val exact = Ann.bruteForceTopK(queries, corpus, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val centroids = Ann.seedCentroids(
+      corpus.select(col("vec_id"), col("vec")), nCells = 8)
+    val withCell = Ann.assignCells(corpus, centroids)
+    val approx = Ann.ivfTopK(queries, withCell, centroids, 10, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("language id picks dominant stopword language") {
+    val docs = Seq(
+      (0L, "the cat is in the house and it is warm"),
+      (1L, "der hund ist nicht zu hause und das ist gut"),
+      (2L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en" && got(1L) == "de" && got(2L) == "und")
+  }
+}
