@@ -104,6 +104,26 @@ object SparkEntry {
         .select(col("doc_id"), col("score_r"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
+    }),
+
+    // S6 extraction kernel over the synthetic pages corpus (byte-identical
+    // vs CPython html.parser — proven by vectors + CrossVal; rows-only here
+    // since DuckDB cannot parse HTML)
+    "q_pages_extract" -> ((s, _) =>
+      graft.corpus.PagesPipeline.docs(
+        graft.corpus.PagesGen.pages(s, 100, 4).toDF())
+        .select(col("doc_id"), col("url"), sha2(col("text"), 256).as("text_sha"))),
+
+    // flagship north-rule pipeline: pages -> extract -> dense ids -> packed
+    // index (checkpointed) -> block-max WAND top-k (rows-only)
+    "q_pages_wand" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pages-q").toString
+      graft.corpus.PagesPipeline.buildIndex(
+        graft.corpus.PagesGen.pages(s, 300, 6).toDF(), dir, shardBits = 7, groups = 2)
+      graft.query.Wand.search(s, dir,
+        Seq(1L -> "the w3 w17", 2L -> "w100 w2000"), k = 10)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank"))
     })
   )
 

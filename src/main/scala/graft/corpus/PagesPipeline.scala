@@ -1,0 +1,43 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Bm25Params
+import graft.extract.HtmlText
+import graft.index.{DocIds, InvertedIndex, PackedIndex}
+
+/** The full north-rule pipeline over the pages table:
+  * pages -> byte-identical extraction -> dense docIds -> tokenize ->
+  * packed postings index (checkpointed groups) -> WAND top-k queries.
+  *
+  * Plan shape: extraction and tokenization are narrow (single pass over the
+  * pages scan, html column pruned away right after the kernel); docId
+  * assignment adds no shuffle; the only wide stages are the posting
+  * aggregation and the (shard, term) pack shuffle — see PackedIndex.
+  */
+object PagesPipeline {
+
+  private val extractUdf = udf((html: Array[Byte]) =>
+    if (html == null) null else HtmlText.extractBytes(html))
+
+  /** pages -> (url, warc_ts, lang, text): uses the materialized `text` when
+    * present, else runs the extraction kernel on `html` (reference: FileParser
+    * populates text once; our invariant is byte-identical re-derivation).
+    */
+  def extracted(pages: DataFrame): DataFrame =
+    pages.select(col("url"), col("warc_ts"), col("lang"),
+      coalesce(col("text"), extractUdf(col("html"))).as("text"))
+
+  /** extracted + dense doc_id (0..N-1, layout-stable). */
+  def docs(pages: DataFrame): DataFrame =
+    DocIds.assignDense(extracted(pages))
+
+  /** (doc_id, terms) for the index build. */
+  def tokenized(docsDf: DataFrame): DataFrame =
+    InvertedIndex.tokenize(docsDf, "doc_id", "text")
+
+  /** End-to-end index build from raw pages; returns per-group manifests. */
+  def buildIndex(pages: DataFrame, dir: String, shardBits: Int = 16,
+                 groups: Int = 4, p: Bm25Params = Bm25Params()): Seq[PackedIndex.GroupManifest] =
+    PackedIndex.build(tokenized(docs(pages)), dir, shardBits, groups, p)
+}
