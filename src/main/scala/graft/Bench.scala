@@ -1,24 +1,91 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark. Prints ONE JSON line:
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Headline numbers (north rule): index-build docs/sec over the synthesized
+  * pages corpus (extract -> tokenize -> pack -> write, checkpointed) and
+  * BM25 WAND query throughput (q/s) over the built index. Operator queries
+  * from the driver contract run against SPARK_GRAFT_SF_DIR for per-operator
+  * timings. Scaling evidence (N vs 4N cores) is produced by
+  * [[graft.ScalingBench]] into BENCH/BASELINE.md.
+  */
 object Bench {
+
+  /** Deterministic mixed hot/rare query batch. */
+  def queryBatch(nQueries: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val stop = Array("the", "of", "and", "to", "in", "is")
+    (0 until nQueries).map { qi =>
+      val terms = (0 until 2 + rnd.nextInt(3)).map { _ =>
+        if (rnd.nextDouble() < 0.3) stop(rnd.nextInt(stop.length))
+        else s"w${rnd.nextInt(5000)}"
+      }
+      qi.toLong -> terms.mkString(" ")
+    }
+  }
+
+  def buildAndQuery(spark: SparkSession, nPages: Long, partitions: Int,
+                    nQueries: Int): (Double, Double, Long) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val dir = s"$tmp/idx"
+    // materialize the corpus first so "build docs/sec" measures the
+    // pipeline (extract->tokenize->pack->commit), not the generator
+    val pagesPath = s"$tmp/pages"
+    corpus.PagesGen.pages(spark, nPages, partitions).toDF()
+      .write.mode("overwrite").parquet(pagesPath)
+    val pages = spark.read.parquet(pagesPath)
+    val t0 = System.nanoTime()
+    corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 12, groups = 2)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val queries = queryBatch(nQueries)
+    query.Wand.search(spark, dir, queries, k = 10).count() // warm-up
+    val t1 = System.nanoTime()
+    val hits = query.Wand.search(spark, dir, queries, k = 10).count()
+    val querySec = (System.nanoTime() - t1) / 1e9
+    (buildSec, querySec, hits)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "30000").toLong
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "200").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: north-rule build + query throughput
+    val (buildSec, querySec, _) = buildAndQuery(spark, nPages, cpus.toInt * 2, nQueries)
+    val buildDocsPerSec = nPages / buildSec
+    val queriesPerSec = nQueries / querySec
+
+    // operator battery on the sf dir (headline subset)
+    val headline = Seq("q_bm25_topk", "q_bm25_wand_topk", "q_postings",
+      "q_metrics", "q_rrf", "q_dedup_exact", "q_jaccard_pairs", "q_minhash_pairs",
+      "q_simhash", "q_ann_cosine_topk", "q_text_quality", "q_lang_id")
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    } ++ Seq("pages_index_build" -> buildSec, "wand_query_batch" -> querySec)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"n_pages":$nPages,"n_queries":$nQueries}""")
     spark.stop()
   }
 }

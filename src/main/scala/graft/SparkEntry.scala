@@ -54,7 +54,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
     graft.contract.PipelineQueries.queries ++
-    graft.contract.DataOpsQueries.queries
+    graft.contract.DataOpsQueries.queries ++
+    graft.contract.MiscQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1/F2 tokenize + doc length (SURVEY §2.8)
@@ -129,7 +130,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = coreOracleSql ++
     graft.contract.PipelineQueries.oracleSql ++
-    graft.contract.DataOpsQueries.oracleSql
+    graft.contract.DataOpsQueries.oracleSql ++
+    graft.contract.MiscQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = {
     val ctes = DocsCorpus.oracleCorpusCtes

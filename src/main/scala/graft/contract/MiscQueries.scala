@@ -1,0 +1,162 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.DocsCorpus
+import graft.functions.TextFunctions
+
+/** Driver-contract queries for projections, scalar functions, chunking,
+  * pooling, streaming-shaped window aggs, and multimodal plumbing
+  * (SURVEY §2.2 P2/P3/P7, §2.8 F5/F7/F8, A10, J5-chunking, §2.10).
+  */
+object MiscQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P2/P3/F5: instruction prefix + title/text concat projections
+    "q_projections" -> ((s, dir) =>
+      DocsCorpus.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.withInstruction(col("text"), "query: ").as("instructed"),
+        TextFunctions.titleText(col("source"), col("text")).as("titled"))),
+
+    // P7: citation extraction from synthesized bracket citations
+    "q_citations" -> ((s, dir) =>
+      DocsCorpus.documents(s, dir)
+        .withColumn("cited",
+          concat(lit("see ["), pmod(col("doc_id"), lit(5)), lit(", "),
+            pmod(col("doc_id"), lit(7)), lit("] and [" ), pmod(col("doc_id"), lit(3)),
+            lit("] end")))
+        .select(col("doc_id"),
+          explode(TextFunctions.citations(col("cited"))).as("cite"))),
+
+    // F7/F8: dot-with-temperature + sigmoid over embedding pairs
+    "q_dot_sigmoid" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = emb.filter(col("vec_id") >= 3 && col("vec_id") < 8)
+        .select(col("vec_id").as("b_id"), col("v").as("vb"))
+      a.crossJoin(b).select(col("a_id"), col("b_id"),
+        round(TextFunctions.dotWithTemperature(col("va"), col("vb"), 0.05), 4)
+          .as("dot_t_r"),
+        round(TextFunctions.sigmoid(
+          TextFunctions.dotWithTemperature(col("va"), col("vb"), 0.05)), 4)
+          .as("sig_r"))
+    }),
+
+    // A10: segment mean pooling over embeddings (exploded for compare)
+    "q_segment_mean" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(10)).cast("long").as("segment_id"),
+          col("embedding").cast("array<double>").as("vec"))
+      TextFunctions.segmentMean(emb)
+        .select(col("segment_id"), posexplode(col("mean_vec")))
+        .select(col("segment_id"), col("pos"), round(col("col"), 4).as("m_r"))
+    }),
+
+    // J5-chunking: token windows with overlap + parent map
+    "q_chunk_docs" -> ((s, dir) =>
+      TextFunctions.chunkDocs(DocsCorpus.documents(s, dir), "doc_id", "text",
+        chunkTokens = 20, overlap = 5)
+        .select(col("doc_id"), col("chunk_pos"), col("chunk_text"))),
+
+    // §2.10: tumbling-window event aggregation (batch plan == streaming plan;
+    // the stream run is exercised in ScalaTest)
+    "q_events_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedAgg(
+        DocsCorpus.table(s, dir, "events"), "1 hour")),
+
+    // multimodal plumbing: stub decode over binary assets (rows-only)
+    "q_multimodal_features" -> ((s, _) => {
+      import s.implicits._
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.genAssets(s, 200, 4)).toDF()
+        .select(col("asset_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), round(element_at(col("features"), 1), 4).as("f0_r"))
+    }),
+
+    // S4: ranking TSV sink shape (write then read back; rows-only)
+    "q_ranking_tsv" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-tsv").toString + "/r"
+      val ranked = graft.query.Bm25Query.rank(
+        PipelineQueriesAccess.ranking(s, dir)
+          .withColumn("score", col("rank").cast("double") * -1), 10)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      graft.query.Bm25Query.writeRankingTsv(ranked, out)
+      s.read.option("sep", "\t")
+        .schema("query_id LONG, doc_id LONG, score DOUBLE, rank INT").csv(out)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_projections" ->
+      """SELECT doc_id, 'query: ' || text AS instructed,
+        |       source || ' ' || text AS titled
+        |FROM documents""".stripMargin,
+
+    "q_citations" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         'see [' || (doc_id % 5) || ', ' || (doc_id % 7) || '] and [' || (doc_id % 3) || '] end' AS cited
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(cited, '\[([\d, ]+)\]', 1)) AS grp FROM c),
+        |e AS (
+        |  SELECT doc_id, CAST(trim(unnest(string_split(grp, ','))) AS INT) AS cite FROM m)
+        |SELECT DISTINCT doc_id, cite FROM e WHERE cite IS NOT NULL""".stripMargin,
+
+    "q_dot_sigmoid" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / 0.05 AS d
+        |  FROM v a, v b WHERE a.vec_id < 3 AND b.vec_id >= 3 AND b.vec_id < 8)
+        |SELECT a_id, b_id, round(d, 4) AS dot_t_r,
+        |       round(1.0 / (1.0 + exp(-d)), 4) AS sig_r
+        |FROM pairs""".stripMargin,
+
+    "q_segment_mean" ->
+      """SELECT CAST(vec_id % 10 AS BIGINT) AS segment_id,
+        |       CAST(i - 1 AS INT) AS pos,
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m_r
+        |FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |nch AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 20 THEN 1
+        |              ELSE CAST(ceil((len(toks) - 20) / 15.0) AS INT) + 1 END AS n
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_pos,
+        |       array_to_string(toks[i * 15 + 1 : i * 15 + 20], ' ') AS chunk_text
+        |FROM nch, LATERAL (SELECT unnest(range(0, n)) AS i)""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_value_r
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}
+
+/** Exposes PipelineQueries' deterministic ranking fixture to siblings. */
+object PipelineQueriesAccess {
+  def ranking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = DocsCorpus.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("query_id", pmod(col("doc_id"), lit(5)).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+}

@@ -36,8 +36,16 @@ object PagesPipeline {
   def tokenized(docsDf: DataFrame): DataFrame =
     InvertedIndex.tokenize(docsDf, "doc_id", "text")
 
-  /** End-to-end index build from raw pages; returns per-group manifests. */
+  /** End-to-end index build from raw pages; returns per-group manifests.
+    * The extraction kernel output is persisted before docId assignment so
+    * extraction runs exactly once (docId counting and the tokenized persist
+    * in PackedIndex.build would otherwise each re-run it).
+    */
   def buildIndex(pages: DataFrame, dir: String, shardBits: Int = 16,
-                 groups: Int = 4, p: Bm25Params = Bm25Params()): Seq[PackedIndex.GroupManifest] =
-    PackedIndex.build(tokenized(docs(pages)), dir, shardBits, groups, p)
+                 groups: Int = 4, p: Bm25Params = Bm25Params()): Seq[PackedIndex.GroupManifest] = {
+    val ex = extracted(pages).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try PackedIndex.build(tokenized(DocIds.assignDense(ex)), dir, shardBits, groups, p)
+    finally ex.unpersist()
+  }
 }

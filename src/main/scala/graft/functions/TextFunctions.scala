@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar/array functions + chunking from SURVEY §2.2/§2.8 that are pure
+  * column expressions (codegen'd, no UDFs).
+  */
+object TextFunctions {
+
+  /** P2: instruction-prefix projection ('{}'.format(q), dataset.py:123-124,
+    * embedding_auto.py:244-249).
+    */
+  def withInstruction(text: Column, instruction: String): Column =
+    concat(lit(instruction), text)
+
+  /** P3: title + separator + text concat (dataset.py:129,149). */
+  def titleText(title: Column, text: Column, sep: String = " "): Column =
+    concat_ws(sep, title, text)
+
+  /** P4: stopword removal over a token array (retrieval_auto.py:362-373). */
+  def removeStopwords(terms: Column, stopwords: Seq[String]): Column =
+    array_except(terms, lit(stopwords.toArray))
+
+  /** P7: citation extraction — regex `\[([\d, ]+)\]` -> array of ints
+    * (pipelines/rag.py:102-109; the reference splits on comma and casts).
+    */
+  def citations(text: Column): Column =
+    array_distinct(filter(
+      transform(
+        flatten(transform(
+          regexp_extract_all(text, lit("\\[([\\d, ]+)\\]"), lit(1)),
+          g => split(g, ","))),
+        s => trim(s).cast("int")),
+      x => x.isNotNull))
+
+  /** F7: dot-score with temperature + nan_to_num(0)
+    * (retrieval_auto.py:258-266).
+    */
+  def dotWithTemperature(a: Column, b: Column, temperature: Double): Column =
+    nanvl(graft.ann.Ann.dot(a, b) / lit(temperature), lit(0.0))
+
+  /** F8: sigmoid normalization (base.py:241-242). */
+  def sigmoid(score: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-score))
+
+  /** A10: segment mean pooling — elementwise mean of vectors per segment id
+    * (`_unsorted_segment_mean`, embedding_auto.py:570-579). Input frame:
+    * (segment_id, vec ARRAY<DOUBLE>); output (segment_id, mean_vec).
+    * Shuffle on segment_id only; the per-segment reduce is an elementwise
+    * zip_with sum — linear, no collect.
+    */
+  def segmentMean(df: DataFrame, segCol: String = "segment_id",
+                  vecCol: String = "vec"): DataFrame =
+    df.select(col(segCol), posexplode(col(vecCol)))
+      .groupBy(col(segCol), col("pos"))
+      .agg(avg(col("col")).as("m")) // partial agg per (segment, dim): no big buffers
+      .groupBy(col(segCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mean_vec"))
+
+  /** Token-window chunking with overlap + chunk->parent map — the
+    * DocumentSplitter shape (`models/utils.py:136-167`): window size
+    * `chunkTokens`, stride `chunkTokens - overlap`, short docs pass through
+    * as one chunk. Emits (parent fields..., chunk_id, chunk_pos, chunk_text).
+    * Pure array ops: a narrow flatMap-shaped transform+posexplode, no UDF,
+    * no shuffle.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = graft.tokenize.PyTokenize.asciiSplit(col(textCol))
+    val nChunksExpr =
+      when(size(toks) <= chunkTokens, lit(1))
+        .otherwise(ceil((size(toks) - lit(chunkTokens)).cast("double") / stride) + 1)
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", nChunksExpr.cast("int"))
+      .select(col("*"),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * stride + lit(1), lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_pos")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("chunk_id",
+        col(idCol).cast("long") * lit(1 << 16) + col("chunk_pos"))
+      .drop("__toks", "__n")
+  }
+}

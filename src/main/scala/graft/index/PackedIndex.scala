@@ -72,7 +72,18 @@ object PackedIndex {
     * (doc_id, term, tf, dl); rows are shuffled to co-locate (shard, term)
     * and sorted so the packer streams consecutive runs.
     */
-  def packGroup(postingsDl: DataFrame, stats: IndexStats): Dataset[PackedPostings] = {
+  /** Per-build counters filled by the pack tasks (terms, postings,
+    * compressed bytes) — avoids a second read of the committed output just
+    * to produce manifest metrics.
+    */
+  final class PackCounters(spark: SparkSession) extends Serializable {
+    val terms = spark.sparkContext.longAccumulator("packedTerms")
+    val postings = spark.sparkContext.longAccumulator("packedPostings")
+    val bytes = spark.sparkContext.longAccumulator("packedBytes")
+  }
+
+  def packGroup(postingsDl: DataFrame, stats: IndexStats,
+                counters: Option[PackCounters] = None): Dataset[PackedPostings] = {
     val spark = postingsDl.sparkSession
     import spark.implicits._
     val p = stats.params
@@ -103,6 +114,12 @@ object PackedIndex {
           val blocks = Codec.pack(docs.toArray, tfs.toArray, dls.toArray, norm, blockSize)
             .map(b => PackedBlock(b.baseDocId, b.maxDocId, b.count, b.maxTfNorm,
               b.docs, b.tfs, b.dls)).toArray
+          counters.foreach { c =>
+            c.terms.add(1L)
+            c.postings.add(docs.length.toLong)
+            c.bytes.add(blocks.iterator.map(b =>
+              b.docs.length.toLong + b.tfs.length + b.dls.length).sum)
+          }
           PackedPostings(shard, term, blocks)
         }
       }
@@ -117,56 +134,68 @@ object PackedIndex {
     *               an independent Spark job whose output is checkpointed.
     * @return per-group metrics (including skipped/resumed groups).
     */
-  def build(tokenized: DataFrame, dir: String,
+  def build(tokenizedIn: DataFrame, dir: String,
             shardBits: Int = 16, groups: Int = 4,
             p: Bm25Params = Bm25Params(),
             blockSize: Int = Codec.DefaultBlockSize): Seq[GroupManifest] = {
-    val spark = tokenized.sparkSession
+    val spark = tokenizedIn.sparkSession
     Files.createDirectories(Paths.get(dir, "manifest"))
+    // The tokenized frame feeds stats, df, AND every group job. Upstream it
+    // usually contains the extraction kernel — recomputing that per consumer
+    // would multiply the most expensive narrow stage. Persist once for the
+    // build, spilling to disk if it outgrows memory (the 100TB equivalent is
+    // materializing the extract+tokenize stage as its own table/snapshot).
+    val tokenized = tokenizedIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try buildFrom(tokenized, dir, shardBits, groups, p, blockSize)
+    finally tokenized.unpersist()
+  }
 
-    // stage 1: corpus stats + df table (skipped on resume if present)
-    val stats: IndexStats =
-      if (Files.exists(Paths.get(dir, "stats.json"))) readStats(dir)
-      else {
-        val dls = InvertedIndex.docLens(tokenized)
-        val row = InvertedIndex.corpusStats(dls).first()
-        val n = row.getLong(0)
-        val avgdl = row.getDouble(1)
-        val post = InvertedIndex.postings(tokenized)
-        val dfTable = InvertedIndex.docFreq(post)
-        dfTable.write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
-        val avgRawIdf =
-          InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
-        val s = IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon, shardBits, blockSize)
-        writeStats(dir, s)
-        s
-      }
+  private def buildFrom(tokenized: DataFrame, dir: String,
+                        shardBits: Int, groups: Int,
+                        p: Bm25Params,
+                        blockSize: Int): Seq[GroupManifest] = {
+    val spark = tokenized.sparkSession
 
-    val postingsDl = postingsWithDl(tokenized)
-    (0 until groups).map { g =>
-      val manifestPath = Paths.get(dir, "manifest", s"group-$g.json")
-      if (Files.exists(manifestPath)) readManifest(manifestPath) // resume: skip
-      else {
-        val t0 = System.nanoTime()
-        val groupPostings = postingsDl.filter(
-          shiftright(col("doc_id"), shardBits).cast("int") % groups === g)
-        val packed = packGroup(groupPostings, stats)
-        packed.write.mode(SaveMode.Overwrite)
-          .partitionBy("shard").parquet(s"$dir/postings/grp=$g")
-        // metrics from the committed output (cheap: metadata + agg over packed rows)
-        val out = spark.read.parquet(s"$dir/postings/grp=$g")
-        val m = out.agg(
-          count(lit(1)).as("terms"),
-          sum(aggregate(col("blocks"), lit(0L), (a, b) => a + b.getField("count"))).as("postings"),
-          sum(aggregate(col("blocks"), lit(0L),
-            (a, b) => a + length(b.getField("docs")) + length(b.getField("tfs"))
-              + length(b.getField("dls")))).as("bytes")).first()
-        val man = GroupManifest(g, m.getLong(0), m.getLong(1), m.getLong(2),
-          (System.nanoTime() - t0) / 1e6)
-        writeManifest(manifestPath, man) // committed LAST -> crash-safe
-        man
+    // The flat postings feed the df table AND every group's pack job;
+    // persist once (the 100TB equivalent: a materialized postings stage).
+    val postingsDl = postingsWithDl(tokenized).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stage 1: corpus stats + df table (skipped on resume if present)
+      val stats: IndexStats =
+        if (Files.exists(Paths.get(dir, "stats.json"))) readStats(dir)
+        else {
+          val row = InvertedIndex.corpusStats(InvertedIndex.docLens(tokenized)).first()
+          val n = row.getLong(0)
+          val avgdl = row.getDouble(1)
+          val dfTable = postingsDl.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          dfTable.write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
+          val avgRawIdf =
+            InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
+          val s = IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon, shardBits, blockSize)
+          writeStats(dir, s)
+          s
+        }
+
+      (0 until groups).map { g =>
+        val manifestPath = Paths.get(dir, "manifest", s"group-$g.json")
+        if (Files.exists(manifestPath)) readManifest(manifestPath) // resume: skip
+        else {
+          val t0 = System.nanoTime()
+          val counters = new PackCounters(spark)
+          val groupPostings = postingsDl.filter(
+            shiftright(col("doc_id"), shardBits).cast("int") % groups === g)
+          val packed = packGroup(groupPostings, stats, Some(counters))
+          packed.write.mode(SaveMode.Overwrite)
+            .partitionBy("shard").parquet(s"$dir/postings/grp=$g")
+          val man = GroupManifest(g, counters.terms.value, counters.postings.value,
+            counters.bytes.value, (System.nanoTime() - t0) / 1e6)
+          writeManifest(manifestPath, man) // committed LAST -> crash-safe
+          man
+        }
       }
-    }
+    } finally postingsDl.unpersist()
   }
 
   def loadPostings(spark: SparkSession, dir: String): Dataset[PackedPostings] = {
