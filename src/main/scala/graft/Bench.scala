@@ -39,7 +39,7 @@ object Bench {
       .write.mode("overwrite").parquet(pagesPath)
     val pages = spark.read.parquet(pagesPath)
     val t0 = System.nanoTime()
-    corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 12, groups = 2)
+    corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 10, groups = 2)
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     val queries = queryBatch(nQueries)
@@ -59,6 +59,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -37,15 +37,19 @@ object PagesPipeline {
     InvertedIndex.tokenize(docsDf, "doc_id", "text")
 
   /** End-to-end index build from raw pages; returns per-group manifests.
-    * The extraction kernel output is persisted before docId assignment so
-    * extraction runs exactly once (docId counting and the tokenized persist
-    * in PackedIndex.build would otherwise each re-run it).
+    * The extraction output is staged to parquet under the index dir (one
+    * extraction pass ever — docId counting and the tokenize consumers scan
+    * the staged artifact), making the most expensive stage itself a
+    * resumable checkpoint.
     */
   def buildIndex(pages: DataFrame, dir: String, shardBits: Int = 16,
                  groups: Int = 4, p: Bm25Params = Bm25Params()): Seq[PackedIndex.GroupManifest] = {
-    val ex = extracted(pages).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try PackedIndex.build(tokenized(DocIds.assignDense(ex)), dir, shardBits, groups, p)
-    finally ex.unpersist()
+    val spark = pages.sparkSession
+    val rawPath = java.nio.file.Paths.get(dir, "docs_raw")
+    if (!java.nio.file.Files.exists(rawPath.resolve("_SUCCESS")))
+      extracted(pages).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(rawPath.toString)
+    val raw = spark.read.parquet(rawPath.toString)
+    PackedIndex.build(tokenized(DocIds.assignDense(raw)), dir, shardBits, groups, p)
   }
 }

@@ -59,6 +59,38 @@ object TextFunctions {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("mean_vec"))
 
+  /** F10: MaxSim late interaction (ColBERT shape, `models/rerank.py:448-466`):
+    * for token-vector arrays q, d (ARRAY<ARRAY<DOUBLE>>):
+    * mean over query tokens of (max over doc tokens of dot(qt, dt)).
+    * Pure array expressions — shape parity for the reference's
+    * `einsum(...).max(2).sum(1)/len(q)`; the token vectors themselves come
+    * from whatever encoder the caller provides (model-free here).
+    */
+  def maxSim(qTokens: Column, dTokens: Column): Column = {
+    val perQ = transform(qTokens, qt =>
+      array_max(transform(dTokens, dt => graft.ann.Ann.dot(qt, dt))))
+    when(size(qTokens) > 0,
+      aggregate(perQ, lit(0.0), (a, v) => a + v) / size(qTokens))
+      .otherwise(0.0)
+  }
+
+  /** F13 pooling family (models/pooling.py): reduce ARRAY<ARRAY<DOUBLE>>
+    * token vectors to one vector. mean/cls(first)/last/sum — the mask-aware
+    * variants collapse to these once padding is gone (Spark arrays are
+    * unpadded).
+    */
+  def poolMean(tokens: Column): Column = {
+    val sum = aggregate(tokens, lit(null).cast("array<double>"),
+      (acc, v) => when(acc.isNull, v).otherwise(zip_with(acc, v, (x, y) => x + y)))
+    when(size(tokens) > 0, transform(sum, x => x / size(tokens)))
+      .otherwise(lit(null).cast("array<double>"))
+  }
+  def poolCls(tokens: Column): Column = element_at(tokens, 1)
+  def poolLast(tokens: Column): Column = element_at(tokens, -1)
+  def poolSum(tokens: Column): Column =
+    aggregate(tokens, lit(null).cast("array<double>"),
+      (acc, v) => when(acc.isNull, v).otherwise(zip_with(acc, v, (x, y) => x + y)))
+
   /** Token-window chunking with overlap + chunk->parent map — the
     * DocumentSplitter shape (`models/utils.py:136-167`): window size
     * `chunkTokens`, stride `chunkTokens - overlap`, short docs pass through

@@ -16,7 +16,8 @@ final case class PackedBlock(
     base: Long, maxDoc: Long, count: Int, maxTfNorm: Double,
     docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
 
-final case class PackedPostings(shard: Int, term: String, blocks: Array[PackedBlock])
+final case class PackedPostings(shard: Int, term: String, nPostings: Long,
+                                blocks: Array[PackedBlock])
 
 /** Corpus-level stats persisted with the index (tiny JSON sidecar). */
 final case class IndexStats(
@@ -55,16 +56,33 @@ object PackedIndex {
 
   // ---- tokenized -> postings with dl ----------------------------------
 
-  /** (doc_id, term, tf, dl) from (doc_id, terms) without a doc_lens join:
-    * dl is projected before the explode so the only wide op is the
-    * map-side-combinable (doc_id, term) count.
+  /** (doc_id, term, tf, dl) from (doc_id, terms) with NO shuffle: a doc's
+    * term frequencies are a pure function of its own token array, so tf is
+    * counted in a narrow per-row kernel instead of explode + groupBy —
+    * at web scale this removes an entire full-corpus shuffle from the
+    * build (the only remaining wide op is the (shard, term) pack shuffle).
     */
-  def postingsWithDl(tokenized: DataFrame): DataFrame =
-    tokenized
-      .select(col("doc_id"), size(col("terms")).cast("long").as("dl"),
-        explode(col("terms")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  def postingsWithDl(tokenized: DataFrame): DataFrame = {
+    val spark = tokenized.sparkSession
+    import spark.implicits._
+    tokenized.select(col("doc_id"), col("terms"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, terms) =>
+        val dl = terms.length.toLong
+        val m = new java.util.HashMap[String, Long]()
+        terms.foreach(t => m.merge(t, 1L, _ + _))
+        val out = new Array[(Long, String, Long, Long)](m.size)
+        var i = 0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out(i) = (id, e.getKey, e.getValue, dl)
+          i += 1
+        }
+        out
+      }
+      .toDF("doc_id", "term", "tf", "dl")
+  }
 
   // ---- pack ------------------------------------------------------------
 
@@ -89,10 +107,13 @@ object PackedIndex {
     val p = stats.params
     val avgdl = stats.avgdl
     val blockSize = stats.blockSize
+    // explicit partition count: pack work is CPU-bound per shard run; AQE's
+    // byte-based coalescing would serialize it into a few long tasks
+    val parts = math.max(spark.sparkContext.defaultParallelism * 2, 16)
     val withShard = postingsDl
       .withColumn("shard", shiftright(col("doc_id"), stats.shardBits).cast("int"))
       .select(col("shard"), col("term"), col("doc_id"), col("tf"), col("dl"))
-      .repartition(col("shard"))
+      .repartition(parts, col("shard"))
       .sortWithinPartitions(col("shard"), col("term"), col("doc_id"))
       .as[(Int, String, Long, Long, Long)]
 
@@ -120,7 +141,7 @@ object PackedIndex {
             c.bytes.add(blocks.iterator.map(b =>
               b.docs.length.toLong + b.tfs.length + b.dls.length).sum)
           }
-          PackedPostings(shard, term, blocks)
+          PackedPostings(shard, term, docs.length.toLong, blocks)
         }
       }
     }
@@ -140,15 +161,17 @@ object PackedIndex {
             blockSize: Int = Codec.DefaultBlockSize): Seq[GroupManifest] = {
     val spark = tokenizedIn.sparkSession
     Files.createDirectories(Paths.get(dir, "manifest"))
-    // The tokenized frame feeds stats, df, AND every group job. Upstream it
-    // usually contains the extraction kernel — recomputing that per consumer
-    // would multiply the most expensive narrow stage. Persist once for the
-    // build, spilling to disk if it outgrows memory (the 100TB equivalent is
-    // materializing the extract+tokenize stage as its own table/snapshot).
-    val tokenized = tokenizedIn.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try buildFrom(tokenized, dir, shardBits, groups, p, blockSize)
-    finally tokenized.unpersist()
+    // The tokenized frame feeds stats AND every group job, and upstream it
+    // usually contains the expensive extraction kernel. It is STAGED to
+    // parquet once (a real checkpoint: resume skips straight past
+    // extraction) and every consumer scans the cheap columnar artifact.
+    // Runtime caching (persist) was measured pathological under many-core
+    // local mode (MemoryStore churn) and is less resumable anyway.
+    val docsPath = Paths.get(dir, "docs")
+    if (!Files.exists(docsPath.resolve("_SUCCESS")))
+      tokenizedIn.write.mode(SaveMode.Overwrite).parquet(docsPath.toString)
+    val tokenized = spark.read.parquet(docsPath.toString)
+    buildFrom(tokenized, dir, shardBits, groups, p, blockSize)
   }
 
   private def buildFrom(tokenized: DataFrame, dir: String,
@@ -157,51 +180,54 @@ object PackedIndex {
                         blockSize: Int): Seq[GroupManifest] = {
     val spark = tokenized.sparkSession
 
-    // The flat postings feed the df table AND every group's pack job;
-    // persist once (the 100TB equivalent: a materialized postings stage).
-    val postingsDl = postingsWithDl(tokenized).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // stage 1: corpus stats + df table (skipped on resume if present)
-      val stats: IndexStats =
-        if (Files.exists(Paths.get(dir, "stats.json"))) readStats(dir)
-        else {
-          val row = InvertedIndex.corpusStats(InvertedIndex.docLens(tokenized)).first()
-          val n = row.getLong(0)
-          val avgdl = row.getDouble(1)
-          val dfTable = postingsDl.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          dfTable.write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
-          val avgRawIdf =
-            InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
-          val s = IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon, shardBits, blockSize)
-          writeStats(dir, s)
-          s
-        }
+    // stage 1: corpus size + avgdl (all the pack stage needs; df comes from
+    // the packed output afterwards, avoiding a dedicated vocabulary shuffle)
+    val row = InvertedIndex.corpusStats(InvertedIndex.docLens(tokenized)).first()
+    val n = row.getLong(0)
+    val avgdl = row.getDouble(1)
+    // avgRawIdf is back-filled after the df table exists; pack does not use it
+    val packStats = IndexStats(n, avgdl, 0.0, p.k1, p.b, p.epsilon, shardBits, blockSize)
 
-      (0 until groups).map { g =>
-        val manifestPath = Paths.get(dir, "manifest", s"group-$g.json")
-        if (Files.exists(manifestPath)) readManifest(manifestPath) // resume: skip
-        else {
-          val t0 = System.nanoTime()
-          val counters = new PackCounters(spark)
-          val groupPostings = postingsDl.filter(
-            shiftright(col("doc_id"), shardBits).cast("int") % groups === g)
-          val packed = packGroup(groupPostings, stats, Some(counters))
-          packed.write.mode(SaveMode.Overwrite)
-            .partitionBy("shard").parquet(s"$dir/postings/grp=$g")
-          val man = GroupManifest(g, counters.terms.value, counters.postings.value,
-            counters.bytes.value, (System.nanoTime() - t0) / 1e6)
-          writeManifest(manifestPath, man) // committed LAST -> crash-safe
-          man
-        }
+    // stage 2: checkpointed group builds. Each group job is: scan cached
+    // tokenized -> narrow per-doc tf kernel -> ONE (shard) shuffle -> pack.
+    val postingsDl = postingsWithDl(tokenized)
+    val manifests = (0 until groups).map { g =>
+      val manifestPath = Paths.get(dir, "manifest", s"group-$g.json")
+      if (Files.exists(manifestPath)) readManifest(manifestPath) // resume: skip
+      else {
+        val t0 = System.nanoTime()
+        val counters = new PackCounters(spark)
+        val groupPostings = postingsDl.filter(
+          shiftright(col("doc_id"), shardBits).cast("int") % groups === g)
+        val packed = packGroup(groupPostings, packStats, Some(counters))
+        packed.write.mode(SaveMode.Overwrite)
+          .partitionBy("shard").parquet(s"$dir/postings/grp=$g")
+        val man = GroupManifest(g, counters.terms.value, counters.postings.value,
+          counters.bytes.value, (System.nanoTime() - t0) / 1e6)
+        writeManifest(manifestPath, man) // committed LAST -> crash-safe
+        man
       }
-    } finally postingsDl.unpersist()
+    }
+
+    // stage 3: global df table from the packed rows (column-pruned scan of
+    // (term, nPostings) only — the blocks column is never read) + the
+    // deterministic epsilon floor; stats.json is the completion marker.
+    if (!Files.exists(Paths.get(dir, "stats.json"))) {
+      spark.read.parquet(s"$dir/postings")
+        .groupBy(col("term")).agg(sum(col("nPostings")).as("df"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
+      val avgRawIdf =
+        InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
+      writeStats(dir, IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon,
+        shardBits, blockSize))
+    }
+    manifests
   }
 
   def loadPostings(spark: SparkSession, dir: String): Dataset[PackedPostings] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/postings")
-      .select("shard", "term", "blocks").as[PackedPostings]
+      .select("shard", "term", "nPostings", "blocks").as[PackedPostings]
   }
 
   def loadDf(spark: SparkSession, dir: String): DataFrame =

@@ -77,11 +77,27 @@ object Wand {
     val matched = PackedIndex.loadPostings(spark, indexDir)
       .filter(col("term").isin(terms: _*))
       .as[PackedPostings]
+    // Explicit partition count: the WAND stage is compute-bound per shard
+    // group, not bytes-bound — AQE's byte-based coalescing would pack the
+    // (small, compressed) matched postings into a handful of long serial
+    // tasks. A user-specified repartition is exempt from AQE coalescing;
+    // sortWithinPartitions then lets one streaming pass group by shard.
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
     val hits: Dataset[Hit] = matched
-      .groupByKey(_.shard)
-      .flatMapGroups { (_, rows) =>
+      .repartition(parts, col("shard"))
+      .sortWithinPartitions(col("shard"), col("term"))
+      .mapPartitions { it =>
         val (st, qs) = bc.value
-        shardSearch(rows, qs, st, k)
+        val buf = it.buffered
+        new Iterator[Iterator[Hit]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[Hit] = {
+            val shard = buf.head.shard
+            val rows = scala.collection.mutable.ArrayBuffer.empty[PackedPostings]
+            while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
+            shardSearch(rows.iterator, qs, st, k)
+          }
+        }.flatten
       }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -94,7 +110,8 @@ object Wand {
   /** Cursor over one term's packed blocks within a shard. Decodes a block
     * lazily on first positioning inside it; skips whole blocks via maxDoc.
     */
-  private final class Cursor(val term: String, val weightedIdf: Double,
+  private final class Cursor(val term: String, val idf: Double,
+                             val weightedIdf: Double,
                              blocks: Array[PackedBlock]) {
     // list-level upper bound (used for pivot selection)
     val listUb: Double = {
@@ -177,27 +194,74 @@ object Wand {
   }
 
   /** Bounded top-k heap keeping the k best under (score desc, docId asc);
-    * root is the WORST kept entry.
+    * root is the WORST kept entry. Primitive parallel arrays — the kernel
+    * runs millions of offers per task, so the heap must be allocation-free.
     */
   private final class TopKHeap(k: Int) {
-    private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      // "smaller" = worse = lower score, then larger docId
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(a._1, b._1)
-        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    private val cap = math.min(k, 1 << 20) // guard k=MaxValue: grow on demand
+    private var scores = new Array[Double](math.min(cap, 1024))
+    private var docs = new Array[Long](math.min(cap, 1024))
+    private var n = 0
+
+    // "less" = worse = lower score, then larger docId (root is worst kept)
+    @inline private def worse(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && d1 > d2)
+
+    def size: Int = n
+    def threshold: Double = if (n < k) Double.NegativeInfinity else scores(0)
+
+    private def grow(): Unit = {
+      scores = java.util.Arrays.copyOf(scores, scores.length * 2)
+      docs = java.util.Arrays.copyOf(docs, docs.length * 2)
+    }
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val par = (i - 1) >> 1
+        if (worse(scores(i), docs(i), scores(par), docs(par))) {
+          val ts = scores(i); val td = docs(i)
+          scores(i) = scores(par); docs(i) = docs(par)
+          scores(par) = ts; docs(par) = td
+          i = par
+        } else return
       }
     }
-    private val pq = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord.reverse)
-    def size: Int = pq.size
-    def threshold: Double = if (pq.size < k) Double.NegativeInfinity else pq.head._1
-    /** Would (score, doc) enter the heap? (strict order comparison) */
-    def accepts(score: Double, doc: Long): Boolean =
-      pq.size < k || ord.compare((score, doc), pq.head) > 0
-    def offer(score: Double, doc: Long): Unit = {
-      if (pq.size < k) pq.enqueue((score, doc))
-      else if (ord.compare((score, doc), pq.head) > 0) { pq.dequeue(); pq.enqueue((score, doc)) }
+
+    private def siftDown(): Unit = {
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        if (l >= n) return
+        val r = l + 1
+        var m = l
+        if (r < n && worse(scores(r), docs(r), scores(l), docs(l))) m = r
+        if (worse(scores(m), docs(m), scores(i), docs(i))) {
+          val ts = scores(i); val td = docs(i)
+          scores(i) = scores(m); docs(i) = docs(m)
+          scores(m) = ts; docs(m) = td
+          i = m
+        } else return
+      }
     }
-    def drain(): List[(Double, Long)] = pq.dequeueAll.toList
+
+    def offer(score: Double, doc: Long): Unit = {
+      if (n < k) {
+        if (n == scores.length) grow()
+        scores(n) = score; docs(n) = doc; n += 1
+        siftUp(n - 1)
+      } else if (worse(scores(0), docs(0), score, doc)) {
+        scores(0) = score; docs(0) = doc
+        siftDown()
+      }
+    }
+
+    def drain(): List[(Double, Long)] = {
+      var out = List.empty[(Double, Long)]
+      var i = 0
+      while (i < n) { out = (scores(i), docs(i)) :: out; i += 1 }
+      out
+    }
   }
 
   /** WAND over one shard's matched rows for every query in the batch. */
@@ -213,7 +277,7 @@ object Wand {
       val multiplicity = q.tokens.groupBy(identity).map { case (t, a) => t -> a.length }
       val cursors: Array[Cursor] = q.idf.iterator.collect {
         case (t, idf) if byTerm.contains(t) && idf != 0.0 =>
-          new Cursor(t, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
+          new Cursor(t, idf, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
       }.toArray
       if (cursors.isEmpty) Iterator.empty
       else {
@@ -229,69 +293,84 @@ object Wand {
     * bit-for-bit (Bm25.Oracle.scores adds per occurrence in query order).
     */
   private def evalDoc(doc: Long, q: PreparedQuery,
-                      byTerm: scala.collection.Map[String, Cursor],
+                      byTerm: java.util.HashMap[String, Cursor],
                       stats: IndexStats): Double = {
     val p = stats.params
     var score = 0.0
     var i = 0
     while (i < q.tokens.length) {
-      val c = byTerm.get(q.tokens(i)).orNull
-      if (c != null && c.curDoc == doc) {
-        val idf = q.idf(c.term)
-        score += graft.core.Bm25.termScore(idf, c.tf, c.dl, stats.avgdl, p)
-      }
+      val c = byTerm.get(q.tokens(i)) // null when term absent: no allocation
+      if (c != null && c.curDoc == doc)
+        score += graft.core.Bm25.termScore(c.idf, c.tf, c.dl, stats.avgdl, p)
       i += 1
     }
     score
   }
 
+  /** Allocation-free DAAT loop: the cursor array is kept sorted in place by
+    * insertion sort (nearly-sorted between iterations), exhausted cursors
+    * are compacted in place, and no per-iteration objects are created —
+    * the earlier sortBy-per-iteration version generated enough garbage to
+    * stall 32-thread executors in GC.
+    */
   private def wandLoop(cursors: Array[Cursor], q: PreparedQuery,
                        heap: TopKHeap, stats: IndexStats): Unit = {
-    val byTerm: Map[String, Cursor] = cursors.map(c => c.term -> c).toMap
-    val active = scala.collection.mutable.ArrayBuffer.empty[Cursor]
-    cursors.foreach(c => if (!c.exhausted) active += c)
-    while (active.nonEmpty) {
-      // sort by current doc (small arrays; |query terms| is tiny)
-      val sorted = active.sortBy(_.curDoc)
+    val byTerm = new java.util.HashMap[String, Cursor](cursors.length * 2)
+    cursors.foreach(c => byTerm.put(c.term, c))
+    val arr = new Array[Cursor](cursors.length)
+    var nActive = 0
+    cursors.foreach { c => if (!c.exhausted) { arr(nActive) = c; nActive += 1 } }
+
+    while (nActive > 0) {
+      // insertion sort by curDoc (tiny, nearly sorted)
+      var si = 1
+      while (si < nActive) {
+        val c = arr(si)
+        var sj = si - 1
+        while (sj >= 0 && arr(sj).curDoc > c.curDoc) { arr(sj + 1) = arr(sj); sj -= 1 }
+        arr(sj + 1) = c
+        si += 1
+      }
       val theta = heap.threshold
       // pivot: first prefix whose LIST-level ub sum could beat theta
       var acc = 0.0
       var pivotIdx = -1
       var i = 0
-      while (i < sorted.length && pivotIdx < 0) {
-        acc += sorted(i).listBound
+      while (i < nActive && pivotIdx < 0) {
+        acc += arr(i).listBound
         if (acc >= theta) pivotIdx = i // >= : equal-score docs can still win by docId
         i += 1
       }
       if (pivotIdx < 0) return // no remaining doc can enter the heap
-      val pivotDoc = sorted(pivotIdx).curDoc
-      if (sorted(0).curDoc == pivotDoc) {
+      val pivotDoc = arr(pivotIdx).curDoc
+      if (arr(0).curDoc == pivotDoc) {
         // all cursors before pivot are aligned at pivotDoc:
         // refine with BLOCK-level bounds before full evaluation
         var blockAcc = 0.0
         var j = 0
-        while (j <= pivotIdx) { sorted(j).seek(pivotDoc); blockAcc += sorted(j).blockUb; j += 1 }
+        while (j <= pivotIdx) { arr(j).seek(pivotDoc); blockAcc += arr(j).blockUb; j += 1 }
         // include later cursors that happen to sit on pivotDoc
-        while (j < sorted.length && sorted(j).curDoc == pivotDoc) { blockAcc += sorted(j).blockUb; j += 1 }
+        while (j < nActive && arr(j).curDoc == pivotDoc) { blockAcc += arr(j).blockUb; j += 1 }
         if (blockAcc >= theta) {
           val s = evalDoc(pivotDoc, q, byTerm, stats)
           heap.offer(s, pivotDoc)
         }
         // advance every cursor sitting on pivotDoc
-        active.foreach(c => if (c.curDoc == pivotDoc) c.next())
+        var a = 0
+        while (a < nActive) { if (arr(a).curDoc == pivotDoc) arr(a).next(); a += 1 }
       } else {
         // seek cursors before the pivot up to pivotDoc
         var j = 0
-        while (j < pivotIdx) { sorted(j).seek(pivotDoc); j += 1 }
+        while (j < pivotIdx) { arr(j).seek(pivotDoc); j += 1 }
       }
-      // compact exhausted cursors
+      // compact exhausted cursors in place
       var w = 0
       var r = 0
-      while (r < active.length) {
-        if (!active(r).exhausted) { active(w) = active(r); w += 1 }
+      while (r < nActive) {
+        if (!arr(r).exhausted) { arr(w) = arr(r); w += 1 }
         r += 1
       }
-      active.dropRightInPlace(active.length - w)
+      nActive = w
     }
   }
 }

@@ -27,18 +27,18 @@ class PagesSpec extends SparkSpec {
 
   test("pages pipeline: WAND over built index is bit-identical to oracle") {
     val pages = PagesGen.pages(spark, 400, partitions = 6)
-    val docsDf = PagesPipeline.docs(pages.toDF())
-    // oracle corpus: same texts keyed by the SAME dense doc_ids
-    val docRows = docsDf.select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    assert(docRows.map(_._1).toSeq == (0L until 400L)) // dense ids
-    val oracle = new Bm25.Oracle(
-      docRows.map(r => PyTokenize.split(r._2)).toIndexedSeq, Bm25Params())
-
     val dir = Files.createTempDirectory("graft-pages-idx").toString
     val manifests = PagesPipeline.buildIndex(pages.toDF(), dir,
       shardBits = 7, groups = 2)
     assert(manifests.map(_.postings).sum > 0)
+
+    // oracle corpus = the index's OWN staged docs artifact (docIds are a
+    // function of the staged layout, so the canonical mapping lives there)
+    val docRows = spark.read.parquet(s"$dir/docs")
+      .select(col("doc_id"), col("terms")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray)).sortBy(_._1)
+    assert(docRows.map(_._1).toSeq == (0L until 400L)) // dense ids
+    val oracle = new Bm25.Oracle(docRows.map(_._2).toIndexedSeq, Bm25Params())
 
     val queries = Seq(
       1L -> "the w3 w17",
