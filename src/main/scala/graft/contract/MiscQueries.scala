@@ -76,6 +76,59 @@ object MiscQueries {
           col("n_frames"), round(element_at(col("features"), 1), 4).as("f0_r"))
     }),
 
+    // F10 MaxSim late interaction: token-vectors derived by slicing each
+    // 64-dim embedding into 8 tokens x 8 dims (model-free, SQL-matchable)
+    "q_maxsim" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val toks = transform(sequence(lit(0), lit(7)),
+        i => slice(col("v"), i * 8 + lit(1), lit(8)))
+      val withT = emb.withColumn("toks", toks)
+      val q = withT.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("a_id"), col("toks").as("qt"))
+      val d = withT.filter(col("vec_id") >= 3 && col("vec_id") < 10)
+        .select(col("vec_id").as("b_id"), col("toks").as("dt"))
+      q.crossJoin(d).select(col("a_id"), col("b_id"),
+        round(TextFunctions.maxSim(col("qt"), col("dt")), 4).as("maxsim_r"))
+    }),
+
+    // F13 pooling family over the same token-vector arrays
+    "q_pooling" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val toks = transform(sequence(lit(0), lit(7)),
+        i => slice(col("v"), i * 8 + lit(1), lit(8)))
+      val withT = emb.withColumn("toks", toks)
+      withT.select(col("vec_id"),
+        round(element_at(TextFunctions.poolMean(col("toks")), 1), 4).as("mean0_r"),
+        round(element_at(TextFunctions.poolCls(col("toks")), 1), 4).as("cls0_r"),
+        round(element_at(TextFunctions.poolLast(col("toks")), 1), 4).as("last0_r"),
+        round(element_at(TextFunctions.poolSum(col("toks")), 1), 4).as("sum0_r"))
+    }),
+
+    // S1: JSON corpus source round-trip (write jsonl, schema read back)
+    "q_json_source" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-json").toString + "/docs"
+      DocsCorpus.documents(s, dir).write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(out).select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Retriever surface: RRF ensemble of the WAND retriever with itself at
+    // different weights over the pages index (rows-only; exercises the
+    // BaseRetriever-equivalent API end-to-end)
+    "q_ensemble_retriever" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ens").toString
+      graft.corpus.PagesPipeline.buildIndex(
+        graft.corpus.PagesGen.pages(s, 300, 6).toDF(), dir, shardBits = 7, groups = 2)
+      val ens = new graft.query.EnsembleRetriever(Seq(
+        new graft.query.Bm25WandRetriever(dir) -> 1.0,
+        new graft.query.Bm25WandRetriever(dir) -> 0.5))
+      ens.search(s, Seq(1L -> "the w3 w17", 2L -> "w100 w2000"), 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
+    }),
+
     // S4: ranking TSV sink shape (write then read back; rows-only)
     "q_ranking_tsv" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-tsv").toString + "/r"
@@ -142,7 +195,38 @@ object MiscQueries {
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(value), 4) AS sum_value_r
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_maxsim" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8),
+        |      i -> list_transform(range(1, 9), j -> CAST(embedding[i * 8 + j] AS DOUBLE))) AS toks
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS a_id, toks AS qt FROM t WHERE vec_id < 3),
+        |d AS (SELECT vec_id AS b_id, toks AS dt FROM t WHERE vec_id >= 3 AND vec_id < 10)
+        |SELECT a_id, b_id,
+        |  round(list_sum(list_transform(qt,
+        |          x -> list_max(list_transform(dt,
+        |                 y -> list_sum(list_transform(range(1, 9), k -> x[k] * y[k]))))))
+        |        / 8.0, 4) AS maxsim_r
+        |FROM q, d""".stripMargin,
+
+    "q_pooling" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8),
+        |      i -> list_transform(range(1, 9), j -> CAST(embedding[i * 8 + j] AS DOUBLE))) AS toks
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(toks, x -> x[1])) / 8.0, 4) AS mean0_r,
+        |  round(toks[1][1], 4) AS cls0_r,
+        |  round(toks[8][1], 4) AS last0_r,
+        |  round(list_sum(list_transform(toks, x -> x[1])), 4) AS sum0_r
+        |FROM t""".stripMargin,
+
+    "q_json_source" ->
+      "SELECT doc_id, lang, n_chars FROM documents"
   )
 }
 

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.query.{Bm25WandRetriever, CosineRetriever, EnsembleRetriever}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Retriever trait surface + MaxSim/pooling semantics. */
+class RetrieverSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("maxSim: hand-computed late-interaction score") {
+    val df = Seq((
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),           // q: 2 tokens
+      Seq(Seq(2.0, 0.0), Seq(0.0, 3.0), Seq(1.0, 1.0)) // d: 3 tokens
+    )).toDF("q", "d")
+    // per q token max dot: q1 -> max(2,0,1)=2 ; q2 -> max(0,3,1)=3 ; mean=2.5
+    val got = df.select(TextFunctions.maxSim(col("q"), col("d"))).as[Double].head()
+    assert(got == 2.5)
+  }
+
+  test("pooling family on token vectors") {
+    val df = Seq((Seq(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0)))).toDF("t")
+    val r = df.select(
+      TextFunctions.poolMean(col("t")).as("m"),
+      TextFunctions.poolCls(col("t")).as("c"),
+      TextFunctions.poolLast(col("t")).as("l"),
+      TextFunctions.poolSum(col("t")).as("s")).head()
+    assert(r.getSeq[Double](0) == Seq(3.0, 4.0))
+    assert(r.getSeq[Double](1) == Seq(1.0, 2.0))
+    assert(r.getSeq[Double](2) == Seq(5.0, 6.0))
+    assert(r.getSeq[Double](3) == Seq(9.0, 12.0))
+  }
+
+  test("ensemble retriever fuses wand + cosine with RRF semantics") {
+    // tiny pages index
+    val dir = Files.createTempDirectory("graft-retr").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 200, 4).toDF(), dir, shardBits = 6, groups = 2)
+    val wand = new Bm25WandRetriever(dir)
+    val w1 = wand.search(spark, Seq(1L -> "the w3"), 5).collect()
+    assert(w1.nonEmpty && w1.forall(_.getAs[Int]("rank") <= 5))
+
+    // cosine retriever over a toy corpus with a deterministic encoder
+    val corpusVecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "vec")
+    val enc = (s: String) => if (s.contains("x")) Array(1.0, 0.0) else Array(0.0, 1.0)
+    val cos = new CosineRetriever(corpusVecs, enc)
+    val c1 = cos.search(spark, Seq(1L -> "x marks"), 1).collect()
+    assert(c1.head.getAs[Long]("doc_id") == 0L)
+
+    // ensemble of wand with itself: rrf_score = (1.0+0.5)/(60+rank)
+    val ens = new EnsembleRetriever(Seq(wand -> 1.0, wand -> 0.5))
+    val fused = ens.search(spark, Seq(1L -> "the w3"), 5).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    val single = w1.sortBy(_.getAs[Int]("rank"))
+    assert(fused.map(_.getAs[Long]("doc_id")).toSeq ==
+      single.map(_.getAs[Long]("doc_id")).toSeq) // same order
+    val r1 = fused.head
+    assert(math.abs(r1.getAs[Double]("rrf_score") - 1.5 / 61) < 1e-12)
+  }
+}
