@@ -53,8 +53,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "30000").toLong
-    val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "200").toInt
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "100000").toLong
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "400").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
