@@ -20,9 +20,14 @@ object DocsCorpus {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
 
-  /** (doc_id, terms) for the documents table. */
+  /** (doc_id, terms) for the documents table. exact=false: these queries
+    * are DuckDB-oracle-checked, so tokenization must equal the oracle's
+    * regexp_split (identical to the exact tokenizer on this ASCII corpus,
+    * but the contract is pinned to the regex form).
+    */
   def tokenized(spark: SparkSession, sfDir: String): DataFrame =
-    graft.index.InvertedIndex.tokenize(documents(spark, sfDir), "doc_id", "text")
+    graft.index.InvertedIndex.tokenize(documents(spark, sfDir), "doc_id", "text",
+      exact = false)
 
   /** The fixed benchmark/oracle query-term battery (present in the synthetic
     * vocabulary at every sf; includes a term absent from the corpus).

@@ -33,12 +33,23 @@ import graft.core.Bm25Params
   */
 object InvertedIndex {
 
-  /** (doc_id LONG, terms ARRAY<STRING>) from a text column. */
+  /** (doc_id LONG, terms ARRAY<STRING>) from a text column.
+    * @param exact true (default) -> the native PyWsTokenize Catalyst
+    *              expression with full CPython whitespace parity; false ->
+    *              the ASCII regex split (equal on ASCII-whitespace text and
+    *              matched by the DuckDB oracles' regexp_split).
+    */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-               lowercase: Boolean = false, stopwords: Seq[String] = Nil): DataFrame =
-    docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      graft.tokenize.PyTokenize.tokens(col(textCol), lowercase, stopwords).as("terms"))
+               lowercase: Boolean = false, stopwords: Seq[String] = Nil,
+               exact: Boolean = true): DataFrame = {
+    val text = if (lowercase) lower(col(textCol)) else col(textCol)
+    val base =
+      if (exact) graft.plans.GraftFunctions.py_ws_tokenize(text)
+      else graft.tokenize.PyTokenize.asciiSplit(text)
+    val terms =
+      if (stopwords.isEmpty) base else array_except(base, lit(stopwords.toArray))
+    docs.select(col(idCol).cast("long").as("doc_id"), terms.as("terms"))
+  }
 
   /** Flat postings (term, doc_id, tf) — operator A1 in SURVEY §2.4. */
   def postings(tokenized: DataFrame): DataFrame =

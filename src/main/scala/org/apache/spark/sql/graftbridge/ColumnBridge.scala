@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column <-> Expression converters (the
+  * supported extension-point plumbing moved behind `classic.ExpressionUtils`
+  * in Spark 4; extensions conventionally reach it from an org.apache.spark.sql
+  * subpackage).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
