@@ -52,4 +52,26 @@ object PagesPipeline {
     val raw = spark.read.parquet(rawPath.toString)
     PackedIndex.build(tokenized(DocIds.assignDense(raw)), dir, shardBits, groups, p)
   }
+
+  /** Incremental ingest: extract + append new pages to an existing index
+    * (docIds continue above the current corpus; result is bit-identical to
+    * a full rebuild over old+new — see PackedIndex.append).
+    */
+  def appendPages(newPages: DataFrame, dir: String): PackedIndex.GroupManifest = {
+    val spark = newPages.sparkSession
+    val existingN = PackedIndex.readStats(dir).n
+    val grp = 1 + new java.io.File(s"$dir/manifest").listFiles()
+      .iterator.map(_.getName)
+      .collect { case nm if nm.startsWith("group-") && nm.endsWith(".json") =>
+        nm.stripPrefix("group-").stripSuffix(".json").toInt
+      }.foldLeft(-1)(math.max)
+    val rawPath = java.nio.file.Paths.get(dir, s"docs_raw_append_$grp")
+    if (!java.nio.file.Files.exists(rawPath.resolve("_SUCCESS")))
+      extracted(newPages).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(rawPath.toString)
+    val raw = spark.read.parquet(rawPath.toString)
+    val withIds = DocIds.assignDense(raw)
+      .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + existingN)
+    PackedIndex.append(tokenized(withIds), dir)
+  }
 }

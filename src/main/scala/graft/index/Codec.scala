@@ -15,12 +15,12 @@ import java.io.ByteArrayOutputStream
   *                                   sidecar, trades bytes for zero extra
   *                                   lookups and simpler resume)
   *   - maxDocId: skip pointer (block-level skipping)
-  *   - maxTfNorm: max over the block of tf / (tf + k1*(1-b+b*dl/avgdl)) —
-  *     the idf-independent part of the BM25 upper bound. A term's block
-  *     upper bound at query time is idf*(k1+1)*maxTfNorm (exact for
-  *     idf > 0; for idf <= 0 the bound 0 is used since contributions are
-  *     non-positive). Baking the norm instead of the score keeps the pack
-  *     stage free of any vocabulary-wide df/idf join.
+  *   - maxTf / minDl: the BM25 tf-norm tf/(tf + k1*(1-b+b*dl/avgdl)) is
+  *     increasing in tf and decreasing in dl, so norm(maxTf, minDl) bounds
+  *     every posting in the block under ANY (k1, b, avgdl) supplied at
+  *     query time. Storing these primitives instead of a baked norm keeps
+  *     the pack stage free of df/idf joins AND keeps bounds valid after
+  *     incremental appends change the corpus avgdl.
   *
   * The long-posting-list splitting required by the north rule falls out of
   * this structure: a hot term's postings within a shard are split into many
@@ -70,7 +70,8 @@ object Codec {
       baseDocId: Long,
       maxDocId: Long,
       count: Int,
-      maxTfNorm: Double,
+      maxTf: Long,
+      minDl: Long,
       docs: Array[Byte],
       tfs: Array[Byte],
       dls: Array[Byte]) {
@@ -91,12 +92,8 @@ object Codec {
     def decodeDls: Array[Long] = readVarLongs(dls, count)
   }
 
-  /** Pack sorted postings (docId asc) into blocks.
-    * @param tfNorm  (tf, dl) => the idf-independent score part, used for the
-    *                per-block upper bound.
-    */
+  /** Pack sorted postings (docId asc) into blocks. */
   def pack(docIds: Array[Long], tfs: Array[Long], dls: Array[Long],
-           tfNorm: (Long, Long) => Double,
            blockSize: Int = DefaultBlockSize): IndexedSeq[Block] = {
     require(docIds.length == tfs.length && tfs.length == dls.length)
     val n = docIds.length
@@ -108,7 +105,8 @@ object Codec {
       val docsB = new ByteArrayOutputStream()
       val tfsB = new ByteArrayOutputStream()
       val dlsB = new ByteArrayOutputStream()
-      var maxNorm = 0.0
+      var maxTf = 0L
+      var minDl = Long.MaxValue
       var prev = base
       var i = start
       while (i < end) {
@@ -118,11 +116,11 @@ object Codec {
         prev = d
         writeVarLong(tfsB, tfs(i))
         writeVarLong(dlsB, dls(i))
-        val norm = tfNorm(tfs(i), dls(i))
-        if (norm > maxNorm) maxNorm = norm
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (dls(i) < minDl) minDl = dls(i)
         i += 1
       }
-      blocks += Block(base, docIds(end - 1), end - start, maxNorm,
+      blocks += Block(base, docIds(end - 1), end - start, maxTf, minDl,
         docsB.toByteArray, tfsB.toByteArray, dlsB.toByteArray)
       start = end
     }

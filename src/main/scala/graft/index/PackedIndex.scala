@@ -13,7 +13,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * `/root/reference/src/retrievals/models/retrieval_auto.py:335-347`).
   */
 final case class PackedBlock(
-    base: Long, maxDoc: Long, count: Int, maxTfNorm: Double,
+    base: Long, maxDoc: Long, count: Int, maxTf: Long, minDl: Long,
     docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
 
 final case class PackedPostings(shard: Int, term: String, nPostings: Long,
@@ -130,11 +130,9 @@ object PackedIndex {
             val (_, _, d, tf, dl) = buf.next()
             docs += d; tfs += tf; dls += dl
           }
-          val norm = (tf: Long, dl: Long) =>
-            tf.toDouble / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
-          val blocks = Codec.pack(docs.toArray, tfs.toArray, dls.toArray, norm, blockSize)
-            .map(b => PackedBlock(b.baseDocId, b.maxDocId, b.count, b.maxTfNorm,
-              b.docs, b.tfs, b.dls)).toArray
+          val blocks = Codec.pack(docs.toArray, tfs.toArray, dls.toArray, blockSize)
+            .map(b => PackedBlock(b.baseDocId, b.maxDocId, b.count, b.maxTf,
+              b.minDl, b.docs, b.tfs, b.dls)).toArray
           counters.foreach { c =>
             c.terms.add(1L)
             c.postings.add(docs.length.toLong)
@@ -222,6 +220,74 @@ object PackedIndex {
         shardBits, blockSize))
     }
     manifests
+  }
+
+  // ---- incremental append ----------------------------------------------
+
+  /** Append new documents to an existing index (reference analogue:
+    * `FaissRetrieval.add` / `ElasticRetriever.ingest`,
+    * `models/retrieval_auto.py:294-303,424-425`): the new docs pack into a
+    * fresh group (docIds continue above the existing corpus), then global
+    * df/stats are recomputed exactly from sums — the result is
+    * BIT-IDENTICAL to a full rebuild over old+new (block bounds are
+    * avgdl-independent, so existing groups stay valid under the new stats).
+    *
+    * @param newTokenized (doc_id, terms) where doc_id starts at the
+    *                     existing corpus size (see
+    *                     [[graft.corpus.PagesPipeline.appendPages]]).
+    */
+  def append(newTokenized: DataFrame, dir: String): GroupManifest = {
+    val spark = newTokenized.sparkSession
+    val old = readStats(dir)
+    val row = InvertedIndex.corpusStats(InvertedIndex.docLens(newTokenized)).first()
+    val nNew = row.getLong(0)
+    // exact sums: avgdl was computed as exact-Long-sum / n, so the sum
+    // round-trips exactly for any realistic corpus (sumDl < 2^53)
+    val oldSumDl = math.rint(old.avgdl * old.n)
+    val newSumDl = math.rint(row.getDouble(1) * nNew)
+    val n = old.n + nNew
+    val avgdl = (oldSumDl + newSumDl) / n
+
+    val nextGroup = 1 + new java.io.File(s"$dir/manifest").listFiles()
+      .iterator.map(_.getName)
+      .collect { case nm if nm.startsWith("group-") && nm.endsWith(".json") =>
+        nm.stripPrefix("group-").stripSuffix(".json").toInt
+      }.foldLeft(-1)(math.max)
+
+    val t0 = System.nanoTime()
+    val counters = new PackCounters(spark)
+    val packStats = IndexStats(n, avgdl, 0.0, old.k1, old.b, old.epsilon,
+      old.shardBits, old.blockSize)
+    packGroup(postingsWithDl(newTokenized), packStats, Some(counters))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(s"$dir/postings/grp=$nextGroup")
+
+    // recompute global df from the packed rows (column-pruned scan), then
+    // stats (completion marker last, as in build)
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term")).agg(sum(col("nPostings")).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/df_new")
+    // swap df dir atomically-ish (rename)
+    val dfOld = Paths.get(dir, "df")
+    val dfBak = Paths.get(dir, "df_old")
+    if (Files.exists(dfBak)) deleteRecursively(dfBak.toFile)
+    Files.move(dfOld, dfBak)
+    Files.move(Paths.get(dir, "df_new"), dfOld)
+    deleteRecursively(dfBak.toFile)
+    val avgRawIdf = InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
+    writeStats(dir, IndexStats(n, avgdl, avgRawIdf, old.k1, old.b, old.epsilon,
+      old.shardBits, old.blockSize))
+
+    val man = GroupManifest(nextGroup, counters.terms.value,
+      counters.postings.value, counters.bytes.value,
+      (System.nanoTime() - t0) / 1e6)
+    writeManifest(Paths.get(dir, "manifest", s"group-$nextGroup.json"), man)
+    man
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete()
   }
 
   def loadPostings(spark: SparkSession, dir: String): Dataset[PackedPostings] = {

@@ -112,12 +112,20 @@ object Wand {
     */
   private final class Cursor(val term: String, val idf: Double,
                              val weightedIdf: Double,
-                             blocks: Array[PackedBlock]) {
+                             blocks: Array[PackedBlock],
+                             k1: Double, b: Double, avgdl: Double) {
+    // tf-norm upper bound for a block: increasing in tf, decreasing in dl,
+    // so norm(maxTf, minDl) bounds every posting under the CURRENT avgdl
+    // (valid across incremental appends that change corpus stats)
+    @inline private def blockNorm(i: Int): Double = {
+      val blk = blocks(i)
+      blk.maxTf.toDouble / (blk.maxTf + k1 * (1.0 - b + b * blk.minDl / avgdl))
+    }
     // list-level upper bound (used for pivot selection)
     val listUb: Double = {
       var m = 0.0
       var i = 0
-      while (i < blocks.length) { if (blocks(i).maxTfNorm > m) m = blocks(i).maxTfNorm; i += 1 }
+      while (i < blocks.length) { val n = blockNorm(i); if (n > m) m = n; i += 1 }
       m
     }
     private var bi = 0
@@ -158,7 +166,7 @@ object Wand {
 
     /** Current block's score upper bound (same clamping). */
     def blockUb: Double =
-      if (exhausted || weightedIdf <= 0) 0.0 else weightedIdf * blocks(bi).maxTfNorm
+      if (exhausted || weightedIdf <= 0) 0.0 else weightedIdf * blockNorm(bi)
 
     def tf: Long = tfs(pi)
     def dl: Long = dls(pi)
@@ -264,11 +272,22 @@ object Wand {
     }
   }
 
-  /** WAND over one shard's matched rows for every query in the batch. */
+  /** WAND over one shard's matched rows for every query in the batch.
+    * A (shard, term) can appear in MULTIPLE rows when the shard spans build
+    * groups (incremental appends land in new groups): their block lists
+    * cover disjoint, monotone docId ranges and are concatenated in
+    * baseDocId order to form one logical posting list.
+    */
   def shardSearch(rows: Iterator[PackedPostings], queries: Seq[PreparedQuery],
                   stats: IndexStats, k: Int): Iterator[Hit] = {
     val byTerm = scala.collection.mutable.HashMap.empty[String, Array[PackedBlock]]
-    rows.foreach(r => byTerm.update(r.term, r.blocks))
+    rows.foreach { r =>
+      byTerm.get(r.term) match {
+        case None => byTerm.update(r.term, r.blocks)
+        case Some(existing) =>
+          byTerm.update(r.term, (existing ++ r.blocks).sortBy(_.base))
+      }
+    }
     val p = stats.params
     val kEff = if (k > 0) k else Int.MaxValue
     queries.iterator.flatMap { q =>
@@ -277,7 +296,8 @@ object Wand {
       val multiplicity = q.tokens.groupBy(identity).map { case (t, a) => t -> a.length }
       val cursors: Array[Cursor] = q.idf.iterator.collect {
         case (t, idf) if byTerm.contains(t) && idf != 0.0 =>
-          new Cursor(t, idf, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
+          new Cursor(t, idf, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t),
+            p.k1, p.b, stats.avgdl)
       }.toArray
       if (cursors.isEmpty) Iterator.empty
       else {

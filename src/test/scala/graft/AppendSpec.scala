@@ -1,0 +1,112 @@
+package graft
+
+import graft.corpus.{PagesGen, PagesPipeline}
+import graft.index.Salting
+import graft.query.Wand
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental append == full rebuild (bit-identical), plus salting
+  * primitives.
+  */
+class AppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append to an index is bit-identical to a full rebuild") {
+    val all = PagesGen.pages(spark, 300, partitions = 4).toDF()
+    // docs_raw staging uses the same generator layout, so splitting by the
+    // generation order reproduces the same per-doc content in both paths
+    val dirIncr = Files.createTempDirectory("graft-incr").toString
+    val dirFull = Files.createTempDirectory("graft-full").toString
+
+    // full build over everything
+    PagesPipeline.buildIndex(all, dirFull, shardBits = 6, groups = 2)
+
+    // incremental: build over the first 200 (same partitioning), append 100
+    val first = PagesGen.pages(spark, 200, partitions = 4).toDF()
+    PagesPipeline.buildIndex(first, dirIncr, shardBits = 6, groups = 2)
+    val extra = PagesGen.pages(spark, 300, partitions = 4)
+      .toDF().join(
+        spark.read.parquet(s"$dirIncr/docs_raw").select(col("url")),
+        Seq("url"), "left_anti")
+    val man = PagesPipeline.appendPages(extra, dirIncr)
+    assert(man.postings > 0)
+
+    val statsI = graft.index.PackedIndex.readStats(dirIncr)
+    val statsF = graft.index.PackedIndex.readStats(dirFull)
+    assert(statsI.n == statsF.n)
+    assert(statsI.avgdl == statsF.avgdl) // exact-sum reconstruction
+    assert(statsI.avgRawIdf == statsF.avgRawIdf)
+
+    // same queries, both indexes: identical results; docIds may differ
+    // between the two paths (different staging layouts), so compare via url
+    // k larger than any match count: both indexes return ALL matched docs,
+    // so the comparison is the full url -> score map (docIds differ between
+    // the two paths, so equal-score ties order differently by design)
+    val queries = Seq(1L -> "the w3 w17", 2L -> "w100 w2000", 3L -> "the of and")
+    def resolved(dir: String): Map[(Long, String), Double] = {
+      val hits = Wand.search(spark, dir, queries, 1000)
+      // map doc_id -> url via the same id-assignment the build used
+      val ids =
+        if (dir == dirIncr) {
+          val base = graft.index.DocIds.assignDense(
+            spark.read.parquet(s"$dir/docs_raw")).select(col("doc_id"), col("url"))
+          val n0 = 200L
+          val app = graft.index.DocIds.assignDense(
+            spark.read.parquet(s"$dir/docs_raw_append_2"))
+            .select((col("doc_id") + n0).as("doc_id"), col("url"))
+          base.unionByName(app)
+        } else graft.index.DocIds.assignDense(
+          spark.read.parquet(s"$dir/docs_raw")).select(col("doc_id"), col("url"))
+      hits.join(ids, "doc_id")
+        .select(col("query_id"), col("url"), col("score"))
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("url")) ->
+          r.getAs[Double]("score")).toMap
+    }
+    val ri = resolved(dirIncr)
+    val rf = resolved(dirFull)
+    assert(ri.keySet == rf.keySet, "matched doc sets differ")
+    ri.foreach { case (k, score) =>
+      assert(score == rf(k), s"score not bit-identical at $k: $score vs ${rf(k)}")
+    }
+  }
+
+  test("salted count equals plain groupBy count under heavy skew") {
+    val df = (Seq.fill(5000)("hot") ++ (0 until 500).map(i => s"cold$i"))
+      .toDF("k")
+    val salted = Salting.saltedCount(df, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = df.groupBy(col("k")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("hot") == 5000L)
+  }
+
+  test("salted join equals plain join; hot-key split re-merges") {
+    val big = (0 until 2000).map(i => (if (i % 2 == 0) "hot" else s"k${i % 7}", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 100), ("k1", 1), ("k3", 3)).toDF("k", "w")
+    val a = Salting.saltedJoin(big, small, "k")
+      .groupBy(col("k")).agg(sum(col("v") * col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = big.join(small, "k")
+      .groupBy(col("k")).agg(sum(col("v") * col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+
+    val freq = big.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val split = Salting.splitHotKeys(big, "k", freq, threshold = 500, salts = 8)
+    // hot key fans out over multiple salted sub-keys; re-merge restores counts
+    val hotSubkeys = split.filter(col("k") === "hot")
+      .select(col("salted_key")).distinct().count()
+    assert(hotSubkeys > 1 && hotSubkeys <= 8)
+    val remerged = split
+      .withColumn("orig", org.apache.spark.sql.functions.split(col("salted_key"), "#").getItem(0))
+      .groupBy(col("orig")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plainCounts = big.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(remerged == plainCounts)
+  }
+}

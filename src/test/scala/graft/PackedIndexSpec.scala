@@ -26,20 +26,19 @@ class PackedIndexSpec extends SparkSpec {
       for (i <- 0 until n) { acc += 1 + rnd.nextInt(1000); docs(i) = acc }
       val tfs = Array.fill(n)(1L + rnd.nextInt(50))
       val dls = Array.fill(n)(1L + rnd.nextInt(500))
-      val norm = (tf: Long, dl: Long) => tf.toDouble / (tf + dl)
-      val blocks = Codec.pack(docs, tfs, dls, norm, blockSize = 64)
+      val blocks = Codec.pack(docs, tfs, dls, blockSize = 64)
       val gotDocs = blocks.flatMap(_.decodeDocIds).toArray
       val gotTfs = blocks.flatMap(_.decodeTfs).toArray
       val gotDls = blocks.flatMap(_.decodeDls).toArray
       assert(gotDocs.sameElements(docs))
       assert(gotTfs.sameElements(tfs))
       assert(gotDls.sameElements(dls))
-      // block invariants: maxDoc is the block's last docId; maxTfNorm is the max
+      // block invariants: maxDoc is last docId; maxTf/minDl bound the block
       blocks.foreach { b =>
         val ds = b.decodeDocIds; val ts = b.decodeTfs; val ls = b.decodeDls
         assert(b.maxDocId == ds.last)
-        val m = ts.zip(ls).map { case (t, l) => norm(t, l) }.max
-        assert(math.abs(b.maxTfNorm - m) < 1e-15)
+        assert(b.maxTf == ts.max)
+        assert(b.minDl == ls.min)
       }
     }
   }
