@@ -67,6 +67,26 @@ object MiscQueries {
       graft.streaming.EventStream.windowedAgg(
         DocsCorpus.table(s, dir, "events"), "1 hour")),
 
+    // general relational coverage: canonical agg + broadcast join shapes
+    // over the TPC-H-ish tables (Catalyst handles these; included so the
+    // engine's generic SQL surface is oracle-checked too)
+    "q_rel_agg" -> ((s, dir) =>
+      DocsCorpus.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue_r"),
+          count(lit(1)).as("n"))),
+
+    "q_rel_join" -> ((s, dir) => {
+      val li = DocsCorpus.table(s, dir, "lineitem")
+      val o = DocsCorpus.table(s, dir, "orders")
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price_r"),
+          count(lit(1)).as("n"))
+    }),
+
     // multimodal plumbing: stub decode over binary assets (rows-only)
     "q_multimodal_features" -> ((s, _) => {
       import s.implicits._
@@ -226,7 +246,21 @@ object MiscQueries {
         |FROM t""".stripMargin,
 
     "q_json_source" ->
-      "SELECT doc_id, lang, n_chars FROM documents"
+      "SELECT doc_id, lang, n_chars FROM documents",
+
+    "q_rel_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_rel_join" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice), 2) AS sum_price_r,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin
   )
 }
 

@@ -1,0 +1,62 @@
+package graft
+
+import graft.index.{InvertedIndex, PackedIndex}
+import graft.query.Bm25Query
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan regression tests: pushdown, pruning, broadcast selection.
+  * These pin the plan shapes the 100TB design depends on — a regression
+  * (e.g. a lost filter pushdown) would still pass row-level tests while
+  * scanning orders of magnitude more data.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-plan-idx").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 500, 4).toDF(), d, shardBits = 7, groups = 2)
+    d
+  }
+
+  test("packed postings scan pushes the term IN filter to parquet") {
+    val plan = PackedIndex.loadPostings(spark, dir)
+      .filter(col("term").isin("the", "w5"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term, [the,w5])]"), plan.take(800))
+  }
+
+  test("documents scan prunes columns and pushes filters") {
+    val plan = DocsCorpus.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(lang,en)"), plan.take(800))
+    // text (the wide column) must NOT be read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan.take(800))
+  }
+
+  test("batched BM25 broadcasts query terms and idf, never the postings") {
+    val tok = DocsCorpus.tokenized(spark, "/root/testdata/sf0.001")
+    val post = InvertedIndex.postings(tok)
+    val dls = InvertedIndex.docLens(tok)
+    val st = InvertedIndex.corpusStats(dls).first()
+    val idf = InvertedIndex.idfTable(InvertedIndex.docFreq(post), st.getLong(0))
+    val plan = Bm25Query.scoreBatch(post, idf, dls, st.getDouble(1),
+      Bm25Query.queryTerms(DocsCorpus.fixedQueryBatch(spark)))
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("extraction pipeline prunes the html column after the kernel") {
+    val pages = corpus.PagesGen.pages(spark, 10, 2).toDF()
+    // tokenized output never needs html/warc_ts: ensure projection happens
+    val plan = corpus.PagesPipeline.tokenized(
+      corpus.PagesPipeline.docs(pages))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("doc_id"), plan.take(500))
+  }
+}
