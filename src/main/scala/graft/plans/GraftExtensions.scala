@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.pyWsTokenizeDescriptor)
+    e.injectPlannerStrategy(_ => Bm25Strategy)
   }
 }
 
