@@ -134,7 +134,7 @@ object Wand {
     private var tfs: Array[Long] = null
     private var dls: Array[Long] = null
     var curDoc: Long = -1L
-    loadAndPosition()
+    positionAtBlockStart()
 
     private def decode(): Unit = {
       val b = blocks(bi)
@@ -148,11 +148,18 @@ object Wand {
       dls = codec.readVarLongs(b.dls, b.count)
     }
 
-    private def loadAndPosition(): Unit = {
-      if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
-      if (docIds == null) decode()
-      curDoc = docIds(pi)
+    /** Position at the current block's first posting WITHOUT decoding: the
+      * block header carries the first docId (base). Decoding happens lazily
+      * on first content access — blocks that WAND skips entirely (or only
+      * probes via base/maxDoc) never pay varint decode.
+      */
+    private def positionAtBlockStart(): Unit = {
+      if (bi >= blocks.length) { curDoc = Long.MaxValue }
+      else { pi = 0; docIds = null; curDoc = blocks(bi).base }
     }
+
+    @inline private def ensureDecoded(): Unit =
+      if (docIds == null) decode()
 
     def exhausted: Boolean = curDoc == Long.MaxValue
 
@@ -168,18 +175,24 @@ object Wand {
     def blockUb: Double =
       if (exhausted || weightedIdf <= 0) 0.0 else weightedIdf * blockNorm(bi)
 
-    def tf: Long = tfs(pi)
-    def dl: Long = dls(pi)
+    def tf: Long = { ensureDecoded(); tfs(pi) }
+    def dl: Long = { ensureDecoded(); dls(pi) }
 
-    /** Advance to the first doc >= target. Block-skipping via maxDoc. */
+    /** Advance to the first doc >= target. Block-skipping via maxDoc; a
+      * block whose base already satisfies the target is entered without
+      * decoding.
+      */
     def seek(target: Long): Unit = {
       if (exhausted || curDoc >= target) return
-      // skip whole blocks
+      // skip whole blocks (header-only)
       while (bi < blocks.length && blocks(bi).maxDoc < target) {
         bi += 1; pi = 0; docIds = null
       }
       if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
-      if (docIds == null) decode()
+      if (docIds == null) {
+        if (blocks(bi).base >= target) { positionAtBlockStart(); return }
+        decode()
+      }
       // binary search within block
       var lo = pi
       var hi = docIds.length - 1
@@ -195,8 +208,9 @@ object Wand {
 
     def next(): Unit = {
       if (exhausted) return
+      ensureDecoded() // stepping inside the block needs its content
       pi += 1
-      if (pi >= docIds.length) { bi += 1; pi = 0; docIds = null; loadAndPosition() }
+      if (pi >= docIds.length) { bi += 1; positionAtBlockStart() }
       else curDoc = docIds(pi)
     }
   }
