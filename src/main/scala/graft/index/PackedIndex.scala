@@ -36,16 +36,27 @@ final case class IndexStats(
   *
   * Layout under `dir/`:
   *   postings/grp=G/shard=S/  (parquet) packed rows, doc-partitioned
-  *   df/                      (parquet) (term, df) global document frequency
-  *   stats.json                          IndexStats
+  *   df/ (or df-gN/)          (parquet) (term, df) global document frequency;
+  *                            the LIVE dir is named by stats.json's `dfDir`
+  *   stats.json                          IndexStats + dfDir pointer
   *   manifest/group-G.json               per-group build checkpoint + metrics
   *
-  * Resumability (north rule): the build runs group by group (groups = shard
-  * ranges); each group's parquet is fully written BEFORE its manifest file is
-  * created, so a crash leaves either a complete group+manifest or a group
-  * that will be rebuilt. `build` skips groups whose manifest exists.
-  * Manifests double as per-partition lineage + build metrics
-  * (docs/postings/terms/bytes/wallMs per group).
+  * Resumability (north rule): the build runs group by group; groups are
+  * CONTIGUOUS shard ranges (shard = doc_id >> shardBits), so each group's
+  * input is a doc_id range predicate that parquet row-group stats prune —
+  * the staged corpus is scanned ~once per build in total, not once per
+  * group (doc ids are dense and files hold contiguous ranges). Each group's
+  * parquet is fully written BEFORE its manifest file is created, so a crash
+  * leaves either a complete group+manifest or a group that will be rebuilt.
+  * `build` skips groups whose manifest exists. Manifests double as lineage +
+  * build metrics AND as the authoritative per-group (docs, sumDl) record:
+  * global n/avgdl are derived by summing manifests, never read back from a
+  * possibly-mid-commit stats.json.
+  *
+  * Append commit order (crash-safe, idempotent): pack grp=N → write df-gN →
+  * atomic stats.json (points dfDir at df-gN) → atomic manifest (the commit
+  * marker, LAST). A retry after any crash recomputes pre-append totals from
+  * manifests and overwrites every partial artifact with identical content.
   *
   * Skew: shuffle key for the pack stage is (shard, term) — stopword-heavy
   * terms are split across every doc-shard, so no single reducer sees a full
@@ -178,30 +189,45 @@ object PackedIndex {
                         blockSize: Int): Seq[GroupManifest] = {
     val spark = tokenized.sparkSession
 
-    // stage 1: corpus size + avgdl (all the pack stage needs; df comes from
-    // the packed output afterwards, avoiding a dedicated vocabulary shuffle)
-    val row = InvertedIndex.corpusStats(InvertedIndex.docLens(tokenized)).first()
-    val n = row.getLong(0)
-    val avgdl = row.getDouble(1)
-    // avgRawIdf is back-filled after the df table exists; pack does not use it
-    val packStats = IndexStats(n, avgdl, 0.0, p.k1, p.b, p.epsilon, shardBits, blockSize)
+    // stage 1: ONE column-pruned pass computing per-shard (docs, sumDl) —
+    // this both fixes the contiguous group split and yields exact per-group
+    // corpus stats for the manifests (one row per shard; shard count is
+    // bounded by design, so the collect is vocabulary-scale, not corpus-scale)
+    val perShard = tokenized
+      .groupBy(shiftright(col("doc_id"), shardBits).cast("int").as("shard"))
+      .agg(count(lit(1)).as("docs"), sum(size(col("terms")).cast("long")).as("sum_dl"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val maxShard = if (perShard.isEmpty) -1 else perShard.last._1
+    val shardsPerGroup = math.max(1, (maxShard + groups) / groups) // ceil
+    def groupOf(shard: Int): Int = math.min(shard / shardsPerGroup, groups - 1)
+    val groupTotals: Map[Int, (Long, Long)] = perShard
+      .groupBy { case (s, _, _) => groupOf(s) }
+      .map { case (g, rows) => g -> (rows.map(_._2).sum, rows.map(_._3).sum) }
 
-    // stage 2: checkpointed group builds. Each group job is: scan cached
-    // tokenized -> narrow per-doc tf kernel -> ONE (shard) shuffle -> pack.
-    val postingsDl = postingsWithDl(tokenized)
+    // stage 2: checkpointed group builds. Each group job is: RANGE-PRUNED
+    // scan of the staged tokenized parquet (doc_id between the group's shard
+    // bounds — pushed to parquet row-group stats, so the corpus is scanned
+    // once per build in total) -> narrow per-doc tf kernel -> ONE (shard)
+    // shuffle -> pack.
+    val packStats = IndexStats(0L, 0.0, 0.0, p.k1, p.b, p.epsilon, shardBits, blockSize)
     val manifests = (0 until groups).map { g =>
       val manifestPath = Paths.get(dir, "manifest", s"group-$g.json")
       if (Files.exists(manifestPath)) readManifest(manifestPath) // resume: skip
       else {
         val t0 = System.nanoTime()
         val counters = new PackCounters(spark)
-        val groupPostings = postingsDl.filter(
-          shiftright(col("doc_id"), shardBits).cast("int") % groups === g)
-        val packed = packGroup(groupPostings, packStats, Some(counters))
+        val lo = g.toLong * shardsPerGroup << shardBits
+        val hi =
+          if (g == groups - 1) Long.MaxValue
+          else (g.toLong + 1) * shardsPerGroup << shardBits
+        val groupDocs = tokenized.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val packed = packGroup(postingsWithDl(groupDocs), packStats, Some(counters))
         packed.write.mode(SaveMode.Overwrite)
           .partitionBy("shard").parquet(s"$dir/postings/grp=$g")
+        val (gDocs, gSumDl) = groupTotals.getOrElse(g, (0L, 0L))
         val man = GroupManifest(g, counters.terms.value, counters.postings.value,
-          counters.bytes.value, (System.nanoTime() - t0) / 1e6)
+          counters.bytes.value, (System.nanoTime() - t0) / 1e6, gDocs, gSumDl)
         writeManifest(manifestPath, man) // committed LAST -> crash-safe
         man
       }
@@ -210,14 +236,18 @@ object PackedIndex {
     // stage 3: global df table from the packed rows (column-pruned scan of
     // (term, nPostings) only — the blocks column is never read) + the
     // deterministic epsilon floor; stats.json is the completion marker.
+    // n/avgdl come from the manifests (exact Long sums), never from a
+    // possibly-stale stats.json.
     if (!Files.exists(Paths.get(dir, "stats.json"))) {
+      val n = manifests.map(_.docs).sum
+      val avgdl = manifests.map(_.sumDl).sum.toDouble / n
       spark.read.parquet(s"$dir/postings")
         .groupBy(col("term")).agg(sum(col("nPostings")).as("df"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
       val avgRawIdf =
         InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
       writeStats(dir, IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon,
-        shardBits, blockSize))
+        shardBits, blockSize), dfDir = "df")
     }
     manifests
   }
@@ -232,6 +262,15 @@ object PackedIndex {
     * BIT-IDENTICAL to a full rebuild over old+new (block bounds are
     * avgdl-independent, so existing groups stay valid under the new stats).
     *
+    * Crash-safe + idempotent: the pre-append corpus totals come from group
+    * MANIFESTS (exact Long sums), never stats.json — so a crash after the
+    * new stats.json but before the manifest cannot double-count on retry;
+    * the new df is written to a fresh versioned dir (`df-gN`) that the new
+    * stats.json points at (single atomic file move flips both), and the
+    * group manifest is the LAST commit step. A retried append after any
+    * crash point recomputes the same nextGroup and overwrites every partial
+    * artifact with identical content.
+    *
     * @param newTokenized (doc_id, terms) where doc_id starts at the
     *                     existing corpus size (see
     *                     [[graft.corpus.PagesPipeline.appendPages]]).
@@ -239,20 +278,18 @@ object PackedIndex {
   def append(newTokenized: DataFrame, dir: String): GroupManifest = {
     val spark = newTokenized.sparkSession
     val old = readStats(dir)
-    val row = InvertedIndex.corpusStats(InvertedIndex.docLens(newTokenized)).first()
+    val manifests = listManifests(dir)
+    // pre-append totals from committed manifests only (idempotent on retry)
+    val oldN = manifests.map(_.docs).sum
+    val oldSumDl = manifests.map(_.sumDl).sum
+    val row = newTokenized
+      .agg(count(lit(1)).as("n"), sum(size(col("terms")).cast("long")).as("sum_dl"))
+      .first()
     val nNew = row.getLong(0)
-    // exact sums: avgdl was computed as exact-Long-sum / n, so the sum
-    // round-trips exactly for any realistic corpus (sumDl < 2^53)
-    val oldSumDl = math.rint(old.avgdl * old.n)
-    val newSumDl = math.rint(row.getDouble(1) * nNew)
-    val n = old.n + nNew
-    val avgdl = (oldSumDl + newSumDl) / n
-
-    val nextGroup = 1 + new java.io.File(s"$dir/manifest").listFiles()
-      .iterator.map(_.getName)
-      .collect { case nm if nm.startsWith("group-") && nm.endsWith(".json") =>
-        nm.stripPrefix("group-").stripSuffix(".json").toInt
-      }.foldLeft(-1)(math.max)
+    val newSumDl = row.getLong(1)
+    val n = oldN + nNew
+    val avgdl = (oldSumDl + newSumDl).toDouble / n
+    val nextGroup = 1 + manifests.map(_.group).foldLeft(-1)(math.max)
 
     val t0 = System.nanoTime()
     val counters = new PackCounters(spark)
@@ -262,33 +299,36 @@ object PackedIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(s"$dir/postings/grp=$nextGroup")
 
-    // recompute global df from the packed rows (column-pruned scan), then
-    // stats (completion marker last, as in build)
+    // recompute global df from the packed rows (column-pruned scan) into a
+    // fresh versioned dir; readers keep using the old dir until stats.json
+    // (which names the live dir) is atomically replaced
+    val newDfDir = s"df-g$nextGroup"
     spark.read.parquet(s"$dir/postings")
       .groupBy(col("term")).agg(sum(col("nPostings")).as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/df_new")
-    // swap df dir atomically-ish (rename)
-    val dfOld = Paths.get(dir, "df")
-    val dfBak = Paths.get(dir, "df_old")
-    if (Files.exists(dfBak)) deleteRecursively(dfBak.toFile)
-    Files.move(dfOld, dfBak)
-    Files.move(Paths.get(dir, "df_new"), dfOld)
-    deleteRecursively(dfBak.toFile)
-    val avgRawIdf = InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$newDfDir")
+    val avgRawIdf = InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/$newDfDir"), n)
     writeStats(dir, IndexStats(n, avgdl, avgRawIdf, old.k1, old.b, old.epsilon,
-      old.shardBits, old.blockSize))
+      old.shardBits, old.blockSize), dfDir = newDfDir)
 
     val man = GroupManifest(nextGroup, counters.terms.value,
       counters.postings.value, counters.bytes.value,
-      (System.nanoTime() - t0) / 1e6)
+      (System.nanoTime() - t0) / 1e6, nNew, newSumDl)
+    // commit marker LAST: only now does a future append see these docs
     writeManifest(Paths.get(dir, "manifest", s"group-$nextGroup.json"), man)
     man
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
-    f.delete()
-  }
+  /** Docs committed to the index per group manifests — the authoritative
+    * corpus size for docId offsetting and append retries (stats.json may be
+    * mid-commit after a crash; manifests are the commit markers).
+    */
+  def committedDocs(dir: String): Long = listManifests(dir).map(_.docs).sum
+
+  private def listManifests(dir: String): Seq[GroupManifest] =
+    new java.io.File(s"$dir/manifest").listFiles().iterator.collect {
+      case f if f.getName.startsWith("group-") && f.getName.endsWith(".json") =>
+        readManifest(f.toPath)
+    }.toSeq.sortBy(_.group)
 
   def loadPostings(spark: SparkSession, dir: String): Dataset[PackedPostings] = {
     import spark.implicits._
@@ -296,17 +336,21 @@ object PackedIndex {
       .select("shard", "term", "nPostings", "blocks").as[PackedPostings]
   }
 
+  /** The LIVE df table — the dir named by stats.json (appends write fresh
+    * versioned dirs and flip the pointer atomically with the stats).
+    */
   def loadDf(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/df")
+    spark.read.parquet(s"$dir/${readDfDir(dir)}")
 
   // ---- tiny JSON sidecars ---------------------------------------------
 
   final case class GroupManifest(group: Int, terms: Long, postings: Long,
-                                 bytes: Long, wallMs: Double)
+                                 bytes: Long, wallMs: Double,
+                                 docs: Long, sumDl: Long)
 
-  def writeStats(dir: String, s: IndexStats): Unit =
+  def writeStats(dir: String, s: IndexStats, dfDir: String): Unit =
     atomicWrite(Paths.get(dir, "stats.json"),
-      s"""{"n":${s.n},"avgdl":${s.avgdl},"avgRawIdf":${s.avgRawIdf},"k1":${s.k1},"b":${s.b},"epsilon":${s.epsilon},"shardBits":${s.shardBits},"blockSize":${s.blockSize}}""")
+      s"""{"n":${s.n},"avgdl":${s.avgdl},"avgRawIdf":${s.avgRawIdf},"k1":${s.k1},"b":${s.b},"epsilon":${s.epsilon},"shardBits":${s.shardBits},"blockSize":${s.blockSize},"dfDir":"$dfDir"}""")
 
   def readStats(dir: String): IndexStats = {
     val m = readJsonFlat(Files.readString(Paths.get(dir, "stats.json")))
@@ -315,14 +359,19 @@ object PackedIndex {
       m("shardBits").toDouble.toInt, m("blockSize").toDouble.toInt)
   }
 
+  def readDfDir(dir: String): String =
+    readJsonFlat(Files.readString(Paths.get(dir, "stats.json")))
+      .getOrElse("dfDir", "df").stripPrefix("\"").stripSuffix("\"")
+
   private def writeManifest(path: java.nio.file.Path, m: GroupManifest): Unit =
     atomicWrite(path,
-      s"""{"group":${m.group},"terms":${m.terms},"postings":${m.postings},"bytes":${m.bytes},"wallMs":${m.wallMs}}""")
+      s"""{"group":${m.group},"terms":${m.terms},"postings":${m.postings},"bytes":${m.bytes},"wallMs":${m.wallMs},"docs":${m.docs},"sumDl":${m.sumDl}}""")
 
   private def readManifest(path: java.nio.file.Path): GroupManifest = {
     val m = readJsonFlat(Files.readString(path))
     GroupManifest(m("group").toDouble.toInt, m("terms").toLong,
-      m("postings").toLong, m("bytes").toLong, m("wallMs").toDouble)
+      m("postings").toLong, m("bytes").toLong, m("wallMs").toDouble,
+      m.getOrElse("docs", "0").toLong, m.getOrElse("sumDl", "0").toLong)
   }
 
   /** Parse a flat one-level JSON object of numbers (no strings/nesting). */

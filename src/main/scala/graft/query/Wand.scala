@@ -29,6 +29,9 @@ import graft.index.{IndexStats, PackedBlock, PackedIndex, PackedPostings}
   */
 object Wand {
 
+  /** Safety margin for floating-point score upper bounds (see TermPostings). */
+  private val BoundPad: Double = 1.0 + 4 * math.ulp(1.0)
+
   /** One query prepared for the kernel. `tokens` is the raw token sequence
     * (repeats preserved — each occurrence scores, matching the reference's
     * per-occurrence loop); `idf` maps each distinct matched term.
@@ -64,7 +67,8 @@ object Wand {
   }
 
   /** Distributed search: per-shard WAND + global rank. Returns
-    * (query_id, doc_id, score, rank), rank 1..k.
+    * (query_id, doc_id, score, rank), rank 1..k. `k <= 0` means "all matched
+    * docs, ranked" — consistent with [[graft.core.Bm25]]'s oracle topK.
     */
   def search(spark: SparkSession, indexDir: String,
              queries: Seq[(Long, String)], k: Int): DataFrame = {
@@ -101,8 +105,8 @@ object Wand {
       }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    hits.toDF().withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val ranked = hits.toDF().withColumn("rank", row_number().over(w))
+    if (k > 0) ranked.filter(col("rank") <= k) else ranked
   }
 
   // ---- per-shard kernel ------------------------------------------------
@@ -124,8 +128,13 @@ object Wand {
       var i = 0
       while (i < blocks.length) {
         val blk = blocks(i)
+        // Widened by a few ulps: the bound is computed in a different fp
+        // association order than evalDoc's per-occurrence accumulation, so a
+        // posting with tf==maxTf && dl==minDl could otherwise score ulps
+        // ABOVE its "upper bound" and be wrongly pruned on a threshold tie.
+        // Padding only loosens pruning (never correctness).
         out(i) = blk.maxTf.toDouble /
-          (blk.maxTf + k1 * (1.0 - b + b * blk.minDl / avgdl))
+          (blk.maxTf + k1 * (1.0 - b + b * blk.minDl / avgdl)) * BoundPad
         i += 1
       }
       out

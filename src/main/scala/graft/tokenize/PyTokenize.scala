@@ -61,6 +61,9 @@ object PyTokenize extends Serializable {
     */
   def tokens(c: Column, lowercase: Boolean = false, stopwords: Seq[String] = Nil): Column = {
     val base = asciiSplit(if (lowercase) lower(c) else c)
-    if (stopwords.isEmpty) base else array_except(base, lit(stopwords.toArray))
+    // order/duplicate-preserving: array_except would dedup repeated
+    // non-stopword tokens, corrupting tf and doc length downstream
+    if (stopwords.isEmpty) base
+    else filter(base, t => !array_contains(lit(stopwords.toArray), t))
   }
 }

@@ -72,6 +72,39 @@ class AppendSpec extends SparkSpec {
     }
   }
 
+  test("append retried after a crash between stats and manifest is idempotent") {
+    // crash point: new stats.json committed, group manifest NOT — the worst
+    // ordering (a stats-derived retry would double-count the new docs)
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val first = PagesGen.pages(spark, 200, partitions = 4).toDF()
+    PagesPipeline.buildIndex(first, dir, shardBits = 6, groups = 2)
+    val extra = PagesGen.pages(spark, 300, partitions = 4)
+      .toDF().join(
+        spark.read.parquet(s"$dir/docs_raw").select(col("url")),
+        Seq("url"), "left_anti")
+    val man = PagesPipeline.appendPages(extra, dir)
+    val statsAfter = graft.index.PackedIndex.readStats(dir)
+
+    // simulate the crash: delete the append's manifest (committed last), so
+    // everything else — packed group, df-gN, stats.json — is already the
+    // "new" state, then retry the identical append
+    val manifestFile = new java.io.File(s"$dir/manifest/group-${man.group}.json")
+    assert(manifestFile.exists())
+    assert(manifestFile.delete())
+    val man2 = PagesPipeline.appendPages(extra, dir)
+    val statsRetry = graft.index.PackedIndex.readStats(dir)
+
+    assert(man2.group == man.group) // same group re-used, not a duplicate
+    assert(man2.docs == man.docs && man2.sumDl == man.sumDl)
+    assert(statsRetry.n == statsAfter.n, "retry must not double-count docs")
+    assert(statsRetry.avgdl == statsAfter.avgdl)
+    assert(statsRetry.avgRawIdf == statsAfter.avgRawIdf)
+    // queries still serve one copy of each matched doc
+    val hits = Wand.search(spark, dir, Seq(1L -> "the w3 w17"), 1000)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(hits.length == hits.distinct.length)
+  }
+
   test("salted count equals plain groupBy count under heavy skew") {
     val df = (Seq.fill(5000)("hot") ++ (0 until 500).map(i => s"cold$i"))
       .toDF("k")

@@ -84,13 +84,17 @@ class DedupAnnSpec extends SparkSpec {
     }.toDF("query_id", "qvec")
     val exact = Ann.bruteForceTopK(queries, corpus, 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-    val centroids = Ann.seedCentroids(
-      corpus.select(col("vec_id"), col("vec")), nCells = 8)
-    val withCell = Ann.assignCells(corpus, centroids)
-    val approx = Ann.ivfTopK(queries, withCell, centroids, 10, nProbe = 4)
-      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    def recallWith(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val withCell = Ann.assignCells(corpus, centroids)
+      val approx = Ann.ivfTopK(queries, withCell, centroids, 10, nProbe = 4)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seed = Ann.seedCentroids(corpus.select(col("vec_id"), col("vec")), nCells = 8)
+    val rSeed = recallWith(seed)
+    val rLloyd = recallWith(Ann.lloyd(corpus, seed, iters = 3))
+    assert(rSeed >= 0.5, s"IVF recall (seed centroids) too low: $rSeed")
+    assert(rLloyd >= 0.6, s"IVF recall (lloyd centroids) too low: $rLloyd")
   }
 
   test("language id picks dominant stopword language") {

@@ -51,6 +51,32 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("exhaustive BM25 top-k uses TakeOrderedAndProject, no global window") {
+    val qe = SparkEntry.queries("q_bm25_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // every Window in the plan must carry a NON-EMPTY partition spec: the
+    // plan string is `Window [exprs], [partSpec], [orderSpec]` — a window
+    // with an empty/eliminated partition spec prints only two bracket
+    // groups (the single-partition scale hazard WindowExec warns about)
+    val windowLines = plan.linesIterator.filter(_.trim.matches(".*Window \\[.*")).toSeq
+    assert(windowLines.nonEmpty, plan.take(1500))
+    windowLines.foreach { l =>
+      val groups = "\\], \\[".r.findAllIn(l).length
+      assert(groups == 2, s"window lacks a partition spec: $l")
+    }
+  }
+
+  test("stopword filtering preserves duplicate non-stopword tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat the cat sat on a mat cat")).toDF("doc_id", "text")
+    val toks = InvertedIndex.tokenize(df, "doc_id", "text",
+      stopwords = Seq("the", "a", "on"))
+      .select("terms").as[Seq[String]].head()
+    assert(toks == Seq("cat", "cat", "sat", "mat", "cat")) // tf preserved, order kept
+  }
+
   test("extraction pipeline prunes the html column after the kernel") {
     val pages = corpus.PagesGen.pages(spark, 10, 2).toDF()
     // tokenized output never needs html/warc_ts: ensure projection happens
