@@ -114,13 +114,22 @@ object SparkEntry {
         col("score_r").desc, col("doc_id").asc)
     }),
 
-    // S6 extraction kernel over the synthetic pages corpus (byte-identical
-    // vs CPython html.parser — proven by vectors + CrossVal; rows-only here
-    // since DuckDB cannot parse HTML)
-    "q_pages_extract" -> ((s, _) =>
-      graft.corpus.PagesPipeline.docs(
-        graft.corpus.PagesGen.pages(s, 100, 4).toDF())
-        .select(col("doc_id"), col("url"), sha2(col("text"), 256).as("text_sha"))),
+    // S6 extraction kernel, oracle-checked: wrap each document's text in a
+    // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
+    // the analytically-known result (for markup-free text the parser yields
+    // the text verbatim, then the three literal normalize passes — which
+    // DuckDB replicates with chained replace()). Full-HTML byte parity vs
+    // CPython html.parser is proven separately (HtmlTextSpec + CrossVal) and
+    // exercised end-to-end by q_pages_wand.
+    "q_pages_extract" -> ((s, _dir) => {
+      val extractUdf = udf((h: String) => graft.extract.HtmlText.extract(h))
+      DocsCorpus.documents(s, _dir)
+        .filter(!col("text").contains("<") && !col("text").contains("&") &&
+          !col("text").contains("\r"))
+        .select(col("doc_id"),
+          extractUdf(concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>"))).as("extracted"))
+    }),
 
     // flagship north-rule pipeline: pages -> extract -> dense ids -> packed
     // index (checkpointed) -> block-max WAND top-k (rows-only)
@@ -157,6 +166,16 @@ object SparkEntry {
 
       "q_df_idf" ->
         (ctes + "SELECT term, df, round(idf, 6) AS idf_r FROM idf"),
+
+      "q_pages_extract" ->
+        """SELECT doc_id,
+          |       replace(replace(replace(text,
+          |         chr(10) || chr(10) || chr(10), chr(10)),
+          |         chr(10) || chr(10), chr(10)),
+          |         '  ', ' ') AS extracted
+          |FROM documents
+          |WHERE text NOT LIKE '%<%' AND text NOT LIKE '%&%'
+          |  AND text NOT LIKE '%' || chr(13) || '%'""".stripMargin,
 
       "q_bm25_scores" ->
         (ctes +

@@ -25,7 +25,8 @@ object DataOpsQueries {
       Dedup.jaccardPairs(DocsCorpus.documents(s, dir), n = 3, threshold = 0.05)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))),
 
-    // MinHash-LSH near-dup candidates (xxhash64 — rows-only check)
+    // MinHash-LSH near-dup candidates (md5 hash family — the DuckDB oracle
+    // recomputes signatures, banding, bucket caps and the estimate exactly)
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(DocsCorpus.documents(s, dir),
         shingleN = 2, numHashes = 16, bands = 8)
@@ -144,6 +145,33 @@ object DataOpsQueries {
           |JOIN sizes sa ON sa.doc_id = doc_a
           |JOIN sizes sb ON sb.doc_id = doc_b
           |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05""".stripMargin),
+
+    "q_minhash_pairs" ->
+      (tokCte +
+        """, shl AS (
+          |  SELECT doc_id, list(DISTINCT shingle) AS shs FROM (
+          |    SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+          |    FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+          |    WHERE len(toks) >= 2) t GROUP BY 1),
+          |sig AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, 16),
+          |      h -> list_min(list_transform(shs, s -> md5(h || '|' || s)))) AS sig
+          |  FROM shl),
+          |bands AS (
+          |  SELECT doc_id, sig, b,
+          |         md5(b || '|' || array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
+          |  FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS b)),
+          |small AS (
+          |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, bucket) <= 200),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+          |         a.sig AS sa, b2.sig AS sb
+          |  FROM small a JOIN small b2
+          |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+          |SELECT doc_a, doc_b,
+          |       round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6) AS est_jaccard_r
+          |FROM pairs""".stripMargin),
 
     "q_embed_neardup" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),

@@ -134,22 +134,40 @@ object MiscQueries {
         .json(out).select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
-    // Retriever surface: RRF ensemble of the WAND retriever with itself at
-    // different weights over the pages index (rows-only; exercises the
-    // BaseRetriever-equivalent API end-to-end)
-    "q_ensemble_retriever" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ens").toString
-      graft.corpus.PagesPipeline.buildIndex(
-        graft.corpus.PagesGen.pages(s, 300, 6).toDF(), dir, shardBits = 7, groups = 2)
-      val ens = new graft.query.EnsembleRetriever(Seq(
-        new graft.query.Bm25WandRetriever(dir) -> 1.0,
-        new graft.query.Bm25WandRetriever(dir) -> 0.5))
-      ens.search(s, Seq(1L -> "the w3 w17", 2L -> "w100 w2000"), 10)
+    // Retriever surface: weighted RRF ensemble through the
+    // BaseRetriever-equivalent API (EnsembleRetriever + Fusion.rrf). The two
+    // member retrievers rank deterministically (n_chars desc / doc_id asc)
+    // so the whole ensemble is DuckDB-oracle-exact; the WAND-backed ensemble
+    // is exercised in RetrieverSpec (its raw-double rank order is not
+    // SQL-replicable at full precision).
+    "q_ensemble_retriever" -> ((s, dir) => {
+      def fixture(order: Seq[org.apache.spark.sql.Column],
+                  score: org.apache.spark.sql.Column): graft.query.Retriever =
+        new graft.query.Retriever {
+          override def search(sp: SparkSession, queries: Seq[(Long, String)],
+                              k: Int): DataFrame = {
+            import org.apache.spark.sql.expressions.Window
+            val qIds = queries.map(_._1)
+            val base = DocsCorpus.documents(sp, dir)
+              .withColumn("query_id", pmod(col("doc_id"), lit(5)).cast("long"))
+              .filter(col("query_id").isin(qIds: _*))
+            val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+            base.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= k)
+              .select(col("query_id"), col("doc_id"),
+                score.cast("double").as("score"), col("rank"))
+          }
+        }
+      val byChars = fixture(Seq(col("n_chars").desc, col("doc_id").asc), col("n_chars"))
+      val byId = fixture(Seq(col("doc_id").asc), -col("doc_id"))
+      val ens = new graft.query.EnsembleRetriever(Seq(byChars -> 1.0, byId -> 0.5))
+      ens.search(s, (0L until 5L).map(q => q -> s"q$q"), 10)
         .select(col("query_id"), col("doc_id"),
           round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
     }),
 
-    // S4: ranking TSV sink shape (write then read back; rows-only)
+    // S4: ranking TSV sink round-trip (write then read back; the fixture
+    // ranking is deterministic so the read-back is DuckDB-oracle-exact)
     "q_ranking_tsv" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-tsv").toString + "/r"
       val ranked = graft.query.Bm25Query.rank(
@@ -264,7 +282,33 @@ object MiscQueries {
         |       round(sum(l_extendedprice), 2) AS sum_price_r,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q_ensemble_retriever" ->
+      """WITH base AS (SELECT doc_id, n_chars, CAST(doc_id % 5 AS BIGINT) AS query_id FROM documents),
+        |r1 AS (SELECT query_id, doc_id, rank, 1.0 AS weight FROM (
+        |         SELECT query_id, doc_id,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |         FROM base) t WHERE rank <= 10),
+        |r2 AS (SELECT query_id, doc_id, rank, 0.5 AS weight FROM (
+        |         SELECT query_id, doc_id,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank
+        |         FROM base) t WHERE rank <= 10),
+        |fused AS (SELECT query_id, doc_id, sum(weight / (60 + rank)) AS rrf_score
+        |          FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_r,
+        |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+        |           FROM fused)
+        |SELECT query_id, doc_id, rrf_r, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_ranking_tsv" ->
+      """WITH base AS (SELECT doc_id, n_chars, CAST(doc_id % 5 AS BIGINT) AS query_id FROM documents),
+        |ranking AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+        |    FROM base) t WHERE rank <= 10)
+        |SELECT query_id, doc_id, CAST(-rank AS DOUBLE) AS score, rank FROM ranking""".stripMargin
   )
 }
 

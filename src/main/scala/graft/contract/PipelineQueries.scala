@@ -102,8 +102,8 @@ object PipelineQueries {
         .select(col("parent_id"), col("score"))
     }),
 
-    // T8/J3/P6 hard negatives (xxhash64 pick — deterministic, not
-    // SQL-expressible; driver records rows-only)
+    // T8/J3/P6 hard negatives (md5-keyed deterministic pick — the DuckDB
+    // oracle reproduces the identical sample)
     "q_hard_negatives" -> ((s, dir) =>
       Fusion.hardNegatives(ranking(s, dir), qrels(s, dir), lo = 2, hi = 10, n = 3)
         .select(col("query_id"), col("doc_id"), col("rank")))
@@ -165,6 +165,20 @@ object PipelineQueries {
     "q_chunk_maxmerge" ->
       """SELECT CAST(doc_id // 10 AS BIGINT) AS parent_id,
         |       CAST(max(n_chars) AS DOUBLE) AS score
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_hard_negatives" ->
+      (rankingCtes +
+        """, neg AS (
+          |  SELECT r.query_id, r.doc_id, r.rank
+          |  FROM ranking r LEFT JOIN qrels q
+          |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+          |  WHERE q.doc_id IS NULL AND r.rank >= 2 AND r.rank < 10),
+          |picked AS (
+          |  SELECT query_id, doc_id, rank,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY md5(query_id || ':' || doc_id || ':42'), doc_id) AS pick
+          |  FROM neg)
+          |SELECT query_id, doc_id, rank FROM picked WHERE pick <= 3""".stripMargin)
   )
 }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.expressions.Window
   *    pairs come from an equi-join on a bucketing key (shingle, LSH band,
   *    or simhash chunk), with hot buckets dropped by a frequency cap
   *    (a stopword-shingle bucket would otherwise explode the join);
-  *  - all hashes are xxhash64 (Spark-native, codegen'd, seedable).
+  *  - hashes: MinHash uses the md5 family (cross-engine verifiable — the
+  *    DuckDB oracle recomputes identical signatures); SimHash and sign-LSH
+  *    use xxhash64 (Spark-native, codegen'd, seedable).
   */
 object Dedup {
 
@@ -85,13 +87,17 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** MinHash signatures: numHashes seeded xxhash64 functions over the
-    * distinct shingle set; signature[i] = min over shingles of
-    * xxhash64(shingle, seed=i). Returned as (doc_id, sig ARRAY<BIGINT>).
+  /** MinHash signatures over the distinct shingle set: signature[i] =
+    * min over shingles of md5("i|" + shingle), kept as the 32-char hex
+    * string (lexicographic min == numeric min on fixed-width hex). The md5
+    * family makes the signatures engine-portable — the DuckDB oracle
+    * recomputes them exactly; a 64-bit hash family would halve signature
+    * bytes at extreme scale with the same banding shape.
+    * Returned as (doc_id, sig ARRAY<STRING>).
     */
   def minhashSignatures(shinglesDf: DataFrame, numHashes: Int): DataFrame = {
     val hashes = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
     shinglesDf.groupBy(col("doc_id"))
       .agg(hashes.head, hashes.tail: _*)
       .select(col("doc_id"),
@@ -111,7 +117,8 @@ object Dedup {
     val sig = minhashSignatures(shingles(docs, shingleN, idCol, textCol), numHashes)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), lit(-1)))))
+        b => md5(concat(b.cast("string"), lit("|"),
+          concat_ws(",", slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val small = banded.join(
       banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bsz"))

@@ -53,14 +53,18 @@ object Fusion {
     * positives (left-anti), then n deterministic pseudo-random picks per
     * query. The reference uses `random.sample` (`build_hn.py:130`); for a
     * reproducible distributed engine the sample is pinned by ordering on
-    * xxhash64(query_id, doc_id, seed) — stable across runs and partitioning.
+    * md5("query:doc:seed") — stable across runs and partitioning, and
+    * replicable by any engine with a standard md5 (the DuckDB oracle
+    * computes the identical pick; xxhash64 would be Spark-only).
     */
   def hardNegatives(ranking: DataFrame, qrels: DataFrame,
                     lo: Int, hi: Int, n: Int, seed: Int = 42): DataFrame = {
     val windowed = ranking.filter(col("rank") >= lo && col("rank") < hi)
     val negatives = windowed.join(qrels, Seq("query_id", "doc_id"), "left_anti")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(xxhash64(col("query_id"), col("doc_id"), lit(seed)), col("doc_id"))
+    val pickKey = md5(concat_ws(":",
+      col("query_id").cast("string"), col("doc_id").cast("string"),
+      lit(seed.toString)))
+    val w = Window.partitionBy(col("query_id")).orderBy(pickKey, col("doc_id"))
     negatives.withColumn("pick", row_number().over(w))
       .filter(col("pick") <= n)
       .drop("pick")
