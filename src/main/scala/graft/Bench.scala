@@ -29,7 +29,7 @@ object Bench {
   }
 
   def buildAndQuery(spark: SparkSession, nPages: Long, partitions: Int,
-                    nQueries: Int): (Double, Double, Long) = {
+                    nQueries: Int): (Double, Double, Long, String) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val dir = s"$tmp/idx"
     // materialize the corpus first so "build docs/sec" measures the
@@ -47,7 +47,7 @@ object Bench {
     val t1 = System.nanoTime()
     val hits = query.Wand.search(spark, dir, queries, k = 10).count()
     val querySec = (System.nanoTime() - t1) / 1e9
-    (buildSec, querySec, hits)
+    (buildSec, querySec, hits, dir)
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,9 +66,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // headline: north-rule build + query throughput
-    val (buildSec, querySec, _) = buildAndQuery(spark, nPages, cpus.toInt * 2, nQueries)
+    val (buildSec, querySec, _, idxDir) =
+      buildAndQuery(spark, nPages, cpus.toInt * 2, nQueries)
     val buildDocsPerSec = nPages / buildSec
     val queriesPerSec = nQueries / querySec
+
+    // Dataset-typed large query batch (the million-query API shape): 10k
+    // queries as a DataFrame through Wand.searchDs chunked broadcasts
+    val nDsQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_DS_QUERIES", "10000").toInt
+    val dsQueryDf = {
+      import spark.implicits._
+      queryBatch(nDsQueries).toDF("query_id", "text")
+    }
+    val t2 = System.nanoTime()
+    query.Wand.searchDs(spark, idxDir, dsQueryDf, k = 10, chunkSize = 2500).count()
+    val dsSec = (System.nanoTime() - t2) / 1e9
+    val dsQps = nDsQueries / dsSec
 
     // operator battery on the sf dir (headline subset)
     val headline = Seq("q_bm25_topk", "q_bm25_wand_topk", "q_postings",
@@ -80,13 +93,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    } ++ Seq("pages_index_build" -> buildSec, "wand_query_batch" -> querySec)
+    } ++ Seq("pages_index_build" -> buildSec, "wand_query_batch" -> querySec,
+      "wand_query_ds_10k" -> dsSec)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"n_pages":$nPages,"n_queries":$nQueries}""")
+      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"ds_batch_qps":${f"$dsQps%.1f"},"n_pages":$nPages,"n_queries":$nQueries,"n_ds_queries":$nDsQueries}""")
     spark.stop()
   }
 }

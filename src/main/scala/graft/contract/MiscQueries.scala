@@ -11,6 +11,30 @@ import graft.functions.TextFunctions
   */
 object MiscQueries {
 
+  /** Deterministic retriever over the sf-dir documents (query q <-> docs
+    * with doc_id%5==q, ranked by `order`): exercises the Retriever API with
+    * DuckDB-oracle-exact rankings. The WAND-backed retrievers are covered by
+    * q_bm25_wand_topk/q_pages_wand and RetrieverSpec.
+    */
+  private def fixtureRetriever(dir: String,
+                               order: Seq[org.apache.spark.sql.Column],
+                               score: org.apache.spark.sql.Column): graft.query.Retriever =
+    new graft.query.Retriever {
+      override def search(sp: SparkSession, queries: Seq[(Long, String)],
+                          k: Int): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val qIds = queries.map(_._1)
+        val base = DocsCorpus.documents(sp, dir)
+          .withColumn("query_id", pmod(col("doc_id"), lit(5)).cast("long"))
+          .filter(col("query_id").isin(qIds: _*))
+        val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+        base.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("doc_id"),
+            score.cast("double").as("score"), col("rank"))
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P2/P3/F5: instruction prefix + title/text concat projections
     "q_projections" -> ((s, dir) =>
@@ -123,7 +147,11 @@ object MiscQueries {
         round(element_at(TextFunctions.poolMean(col("toks")), 1), 4).as("mean0_r"),
         round(element_at(TextFunctions.poolCls(col("toks")), 1), 4).as("cls0_r"),
         round(element_at(TextFunctions.poolLast(col("toks")), 1), 4).as("last0_r"),
-        round(element_at(TextFunctions.poolSum(col("toks")), 1), 4).as("sum0_r"))
+        round(element_at(TextFunctions.poolSum(col("toks")), 1), 4).as("sum0_r"),
+        round(element_at(TextFunctions.poolGem(col("toks")), 1), 4).as("gem0_r"),
+        round(element_at(TextFunctions.poolWeightedLayer(col("toks"),
+          (1 to 8).map(_.toDouble)), 1), 4).as("wl0_r"),
+        round(element_at(TextFunctions.poolFm(col("toks")), 1), 4).as("fm0_r"))
     }),
 
     // S1: JSON corpus source round-trip (write jsonl, schema read back)
@@ -141,29 +169,30 @@ object MiscQueries {
     // is exercised in RetrieverSpec (its raw-double rank order is not
     // SQL-replicable at full precision).
     "q_ensemble_retriever" -> ((s, dir) => {
-      def fixture(order: Seq[org.apache.spark.sql.Column],
-                  score: org.apache.spark.sql.Column): graft.query.Retriever =
-        new graft.query.Retriever {
-          override def search(sp: SparkSession, queries: Seq[(Long, String)],
-                              k: Int): DataFrame = {
-            import org.apache.spark.sql.expressions.Window
-            val qIds = queries.map(_._1)
-            val base = DocsCorpus.documents(sp, dir)
-              .withColumn("query_id", pmod(col("doc_id"), lit(5)).cast("long"))
-              .filter(col("query_id").isin(qIds: _*))
-            val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
-            base.withColumn("rank", row_number().over(w))
-              .filter(col("rank") <= k)
-              .select(col("query_id"), col("doc_id"),
-                score.cast("double").as("score"), col("rank"))
-          }
-        }
-      val byChars = fixture(Seq(col("n_chars").desc, col("doc_id").asc), col("n_chars"))
-      val byId = fixture(Seq(col("doc_id").asc), -col("doc_id"))
+      val byChars = fixtureRetriever(dir,
+        Seq(col("n_chars").desc, col("doc_id").asc), col("n_chars"))
+      val byId = fixtureRetriever(dir, Seq(col("doc_id").asc), -col("doc_id"))
       val ens = new graft.query.EnsembleRetriever(Seq(byChars -> 1.0, byId -> 0.5))
       ens.search(s, (0L until 5L).map(q => q -> s"q$q"), 10)
         .select(col("query_id"), col("doc_id"),
           round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
+    }),
+
+    // Composed RAG pipeline (SimpleRAG.process_query shape): retrieve top-3
+    // -> rank-ordered context assembly -> citation extraction. Texts carry a
+    // synthetic citation marker so the extraction stage has real work; the
+    // context itself is verified via md5.
+    "q_rag_pipeline" -> ((s, dir) => {
+      val docsCited = DocsCorpus.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" ["), pmod(col("doc_id"), lit(7)), lit("]"))
+            .as("text"))
+      val retriever = fixtureRetriever(dir,
+        Seq(col("n_chars").desc, col("doc_id").asc), col("n_chars"))
+      graft.pipelines.Rag.processQueries(s, retriever,
+        (0L until 5L).map(q => q -> s"q$q"), docsCited, topK = 3)
+        .select(col("query_id"), md5(col("context")).as("ctx_md5"),
+          explode(col("cites")).as("cite"))
     }),
 
     // S4: ranking TSV sink round-trip (write then read back; the fixture
@@ -264,7 +293,14 @@ object MiscQueries {
         |  round(list_sum(list_transform(toks, x -> x[1])) / 8.0, 4) AS mean0_r,
         |  round(toks[1][1], 4) AS cls0_r,
         |  round(toks[8][1], 4) AS last0_r,
-        |  round(list_sum(list_transform(toks, x -> x[1])), 4) AS sum0_r
+        |  round(list_sum(list_transform(toks, x -> x[1])), 4) AS sum0_r,
+        |  round(pow(list_sum(list_transform(toks,
+        |          x -> pow(greatest(x[1], 1e-6), 3.0))) / 8.0, 1.0/3.0), 4) AS gem0_r,
+        |  round(list_sum(list_transform(range(1, 9),
+        |          i -> toks[i][1] * i)) / 36.0, 4) AS wl0_r,
+        |  round(0.5 * (list_sum(list_transform(toks, x -> x[1]))
+        |               * list_sum(list_transform(toks, x -> x[1]))
+        |        - list_sum(list_transform(toks, x -> x[1] * x[1]))), 4) AS fm0_r
         |FROM t""".stripMargin,
 
     "q_json_source" ->
@@ -300,6 +336,26 @@ object MiscQueries {
         |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
         |           FROM fused)
         |SELECT query_id, doc_id, rrf_r, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_rag_pipeline" ->
+      """WITH base AS (SELECT doc_id, n_chars, CAST(doc_id % 5 AS BIGINT) AS query_id FROM documents),
+        |ranking AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |    FROM base) t WHERE rank <= 3),
+        |ctx AS (
+        |  SELECT r.query_id,
+        |         string_agg(d.text || ' [' || (d.doc_id % 7) || ']', chr(10) ORDER BY r.rank) AS context
+        |  FROM ranking r JOIN documents d USING (doc_id) GROUP BY 1),
+        |m AS (
+        |  SELECT query_id, md5(context) AS ctx_md5,
+        |         unnest(regexp_extract_all(context, '\[([\d, ]+)\]', 1)) AS grp
+        |  FROM ctx),
+        |e AS (
+        |  SELECT query_id, ctx_md5, CAST(trim(unnest(string_split(grp, ','))) AS INT) AS cite
+        |  FROM m)
+        |SELECT DISTINCT query_id, ctx_md5, cite FROM e WHERE cite IS NOT NULL""".stripMargin,
 
     "q_ranking_tsv" ->
       """WITH base AS (SELECT doc_id, n_chars, CAST(doc_id % 5 AS BIGINT) AS query_id FROM documents),

@@ -105,6 +105,44 @@ object TextFunctions {
     aggregate(tokens, lit(null).cast("array<double>"),
       (acc, v) => when(acc.isNull, v).otherwise(zip_with(acc, v, (x, y) => x + y)))
 
+  /** GeM text pooling (`GeMText`, pooling.py:121-145): per dimension,
+    * (mean over tokens of clamp(x, eps)^p)^(1/p). Mask-free form — Spark
+    * arrays are unpadded, so attention_mask == all-ones.
+    */
+  def poolGem(tokens: Column, p: Double = 3.0, eps: Double = 1e-6): Column = {
+    val sums = aggregate(tokens, lit(null).cast("array<double>"),
+      (acc, v) => {
+        val vp = transform(v, x => pow(greatest(x, lit(eps)), lit(p)))
+        when(acc.isNull, vp).otherwise(zip_with(acc, vp, (a, b) => a + b))
+      })
+    when(size(tokens) > 0,
+      transform(sums, s => pow(s / size(tokens), lit(1.0 / p))))
+      .otherwise(lit(null).cast("array<double>"))
+  }
+
+  /** Weighted-layer pooling (`WeightedLayerPooling`, pooling.py:100-118):
+    * weighted mean over an array of per-layer vectors,
+    * sum(w_i * layer_i) / sum(w). `layers` is ARRAY<ARRAY<DOUBLE>> ordered
+    * from layer_start; `weights` must match its length.
+    */
+  def poolWeightedLayer(layers: Column, weights: Seq[Double]): Column = {
+    val weighted = zip_with(layers, lit(weights.toArray),
+      (v, wi) => transform(v, x => x * wi))
+    val summed = aggregate(weighted, lit(null).cast("array<double>"),
+      (acc, v) => when(acc.isNull, v).otherwise(zip_with(acc, v, (a, b) => a + b)))
+    transform(summed, x => x / lit(weights.sum))
+  }
+
+  /** FM (factorization-machine) pooling (`FMPooling`, pooling.py:209-222):
+    * per dimension, 0.5 * ((sum x)^2 - sum(x^2)) — the second-order
+    * interaction term.
+    */
+  def poolFm(tokens: Column): Column = {
+    val s = poolSum(tokens)
+    val sq = poolSum(transform(tokens, v => transform(v, x => x * x)))
+    zip_with(s, sq, (a, b) => lit(0.5) * (a * a - b))
+  }
+
   /** Token-window chunking with overlap + chunk->parent map — the
     * DocumentSplitter shape (`models/utils.py:136-167`): window size
     * `chunkTokens`, stride `chunkTokens - overlap`, short docs pass through

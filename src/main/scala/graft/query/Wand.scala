@@ -109,6 +109,30 @@ object Wand {
     if (k > 0) ranked.filter(col("rank") <= k) else ranked
   }
 
+  /** Dataset-typed query batch: the million-query path. A driver-side Seq
+    * caps the batch at what one broadcast holds; here the query set stays a
+    * DataFrame (query_id, text) and is processed in deterministic chunks of
+    * `chunkSize` (chunk = query_id mod numChunks), each chunk riding the
+    * broadcast kernel path while the index-side scan plan is identical per
+    * chunk. Results union lazily — per-chunk driver memory is bounded, the
+    * corpus is never re-shuffled, and chunks could run as independent jobs
+    * on a real cluster.
+    *
+    * Parity: identical to [[search]] on the same batch (WandDatasetSpec).
+    */
+  def searchDs(spark: SparkSession, indexDir: String, queries: DataFrame,
+               k: Int, chunkSize: Int = 10000): DataFrame = {
+    val q = queries.select(col("query_id").cast("long"), col("text").cast("string"))
+    val n = q.count()
+    if (n == 0) return search(spark, indexDir, Nil, k)
+    val numChunks = math.max(1L, (n + chunkSize - 1) / chunkSize)
+    (0L until numChunks).map { c =>
+      val chunk = q.filter(pmod(col("query_id"), lit(numChunks)) === c)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      search(spark, indexDir, chunk, k)
+    }.reduce(_ unionByName _)
+  }
+
   // ---- per-shard kernel ------------------------------------------------
 
   /** Cursor over one term's packed blocks within a shard. Decodes a block

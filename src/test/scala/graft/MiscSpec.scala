@@ -43,6 +43,51 @@ class MiscSpec extends SparkSpec {
     assert(got(2L) == Seq(10.0, 20.0))
   }
 
+  test("RAG pipeline assembles rank-ordered context and extracts citations") {
+    val docs = Seq(
+      (0L, "alpha doc [1, 2]"), (1L, "beta doc [3]"), (2L, "gamma [2]"),
+      (3L, "never retrieved [9]")).toDF("doc_id", "text")
+    val fixed = new graft.query.Retriever {
+      override def search(sp: org.apache.spark.sql.SparkSession,
+                          queries: Seq[(Long, String)], k: Int) = {
+        import sp.implicits._
+        Seq((7L, 1L, 3.0, 1), (7L, 0L, 2.0, 2), (7L, 2L, 1.0, 3))
+          .toDF("query_id", "doc_id", "score", "rank")
+      }
+    }
+    val out = graft.pipelines.Rag
+      .processQueries(spark, fixed, Seq(7L -> "q"), docs, topK = 3)
+      .collect()
+    assert(out.length == 1)
+    // _prepare_context: "\n".join in rank order (rag.py:99-101)
+    assert(out.head.getAs[String]("context") ==
+      "beta doc [3]\nalpha doc [1, 2]\ngamma [2]")
+    // extract_citations: distinct ints from bracket groups (rag.py:103-109)
+    assert(out.head.getSeq[Int](2).sorted == Seq(1, 2, 3))
+  }
+
+  test("RAG chunk-rerank max-merges chunk scores back to parents") {
+    val docs = Seq(
+      (0L, (1 to 30).map(i => s"a$i").mkString(" ") + " needle"),
+      (1L, (1 to 30).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fixed = new graft.query.Retriever {
+      override def search(sp: org.apache.spark.sql.SparkSession,
+                          queries: Seq[(Long, String)], k: Int) = {
+        import sp.implicits._
+        Seq((1L, 1L, 2.0, 1), (1L, 0L, 1.0, 2)).toDF("query_id", "doc_id", "score", "rank")
+      }
+    }
+    // chunk score: 1 if the chunk contains "needle" else 0 -> doc 0 wins
+    val rerank: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      graft.pipelines.Rag.chunkRerank(10, 2)(
+        c => when(c.contains("needle"), 1.0).otherwise(0.0))
+    val out = graft.pipelines.Rag
+      .processQueries(spark, fixed, Seq(1L -> "q"), docs, topK = 2, reranker = rerank)
+      .collect().head
+    assert(out.getAs[String]("context").startsWith("a1 ")) // doc 0 re-ranked first
+  }
+
   test("streaming windowed agg equals the batch plan on events") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedAgg(

@@ -25,11 +25,36 @@ class RetrieverSpec extends SparkSpec {
       TextFunctions.poolMean(col("t")).as("m"),
       TextFunctions.poolCls(col("t")).as("c"),
       TextFunctions.poolLast(col("t")).as("l"),
-      TextFunctions.poolSum(col("t")).as("s")).head()
+      TextFunctions.poolSum(col("t")).as("s"),
+      TextFunctions.poolGem(col("t"), p = 2.0).as("g"),
+      TextFunctions.poolWeightedLayer(col("t"), Seq(1.0, 2.0, 1.0)).as("w"),
+      TextFunctions.poolFm(col("t")).as("f")).head()
     assert(r.getSeq[Double](0) == Seq(3.0, 4.0))
     assert(r.getSeq[Double](1) == Seq(1.0, 2.0))
     assert(r.getSeq[Double](2) == Seq(5.0, 6.0))
     assert(r.getSeq[Double](3) == Seq(9.0, 12.0))
+    // GeM p=2: sqrt(mean(x^2)) = sqrt((1+9+25)/3), sqrt((4+16+36)/3)
+    val g = r.getSeq[Double](4)
+    assert(math.abs(g(0) - math.sqrt(35.0 / 3)) < 1e-12)
+    assert(math.abs(g(1) - math.sqrt(56.0 / 3)) < 1e-12)
+    // weighted layers (1,2,1)/4: (1+6+5)/4=3, (2+8+6)/4=4
+    assert(r.getSeq[Double](5) == Seq(3.0, 4.0))
+    // FM: 0.5*((1+3+5)^2-(1+9+25)) = 23, 0.5*((2+4+6)^2-(4+16+36)) = 44
+    assert(r.getSeq[Double](6) == Seq(23.0, 44.0))
+  }
+
+  test("Dataset-typed query batch equals the Seq path") {
+    val dir = Files.createTempDirectory("graft-dsq").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 300, 4).toDF(), dir, shardBits = 6, groups = 2)
+    val batch = Bench.queryBatch(40)
+    val seqHits = graft.query.Wand.search(spark, dir, batch, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dsHits = graft.query.Wand.searchDs(spark, dir,
+      batch.toDF("query_id", "text"), 10, chunkSize = 7) // force multi-chunk
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(dsHits == seqHits)
+    assert(seqHits.nonEmpty)
   }
 
   test("ensemble retriever fuses wand + cosine with RRF semantics") {
