@@ -43,14 +43,14 @@ object PagesPipeline {
     * resumable checkpoint.
     */
   def buildIndex(pages: DataFrame, dir: String, shardBits: Int = 16,
-                 groups: Int = 4, p: Bm25Params = Bm25Params()): Seq[PackedIndex.GroupManifest] = {
+                 groups: Int = 4, p: Bm25Params = Bm25Params(),
+                 io: graft.io.TableIO = graft.io.ParquetDirIO): Seq[PackedIndex.GroupManifest] = {
     val spark = pages.sparkSession
-    val rawPath = java.nio.file.Paths.get(dir, "docs_raw")
-    if (!java.nio.file.Files.exists(rawPath.resolve("_SUCCESS")))
-      extracted(pages).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(rawPath.toString)
-    val raw = spark.read.parquet(rawPath.toString)
-    PackedIndex.build(tokenized(DocIds.assignDense(raw)), dir, shardBits, groups, p)
+    val rawPath = java.nio.file.Paths.get(dir, "docs_raw").toString
+    if (!io.committed(rawPath)) io.write(extracted(pages), rawPath)
+    val raw = io.read(spark, rawPath)
+    PackedIndex.build(tokenized(DocIds.assignDense(raw)), dir, shardBits, groups, p,
+      io = io)
   }
 
   /** Incremental ingest: extract + append new pages to an existing index
@@ -68,11 +68,10 @@ object PagesPipeline {
       .collect { case nm if nm.startsWith("group-") && nm.endsWith(".json") =>
         nm.stripPrefix("group-").stripSuffix(".json").toInt
       }.foldLeft(-1)(math.max)
-    val rawPath = java.nio.file.Paths.get(dir, s"docs_raw_append_$grp")
-    if (!java.nio.file.Files.exists(rawPath.resolve("_SUCCESS")))
-      extracted(newPages).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(rawPath.toString)
-    val raw = spark.read.parquet(rawPath.toString)
+    val io = graft.io.ParquetDirIO
+    val rawPath = java.nio.file.Paths.get(dir, s"docs_raw_append_$grp").toString
+    if (!io.committed(rawPath)) io.write(extracted(newPages), rawPath)
+    val raw = io.read(spark, rawPath)
     val withIds = DocIds.assignDense(raw)
       .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + existingN)
     PackedIndex.append(tokenized(withIds), dir)

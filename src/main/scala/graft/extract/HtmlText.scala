@@ -30,6 +30,13 @@ package graft.extract
   */
 object HtmlText extends Serializable {
 
+  /** CPython _markupbase raises AssertionError for malformed/unknown marked
+    * sections; bs4 propagates it and the reference's FileParser.read catches
+    * ANY exception and returns text '' (file_parser.py:218-221). This
+    * private signal reproduces that whole-page failure mode.
+    */
+  private final class ParseFailure extends RuntimeException
+
   // bs4 HTMLTreeBuilder.empty_element_tags
   private val emptyElements: Set[String] = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input", "keygen",
@@ -165,6 +172,23 @@ object HtmlText extends Serializable {
       stack = if (found) st else Nil
     }
 
+    /** goahead's incomplete-construct fallback at EOF (close()): emit
+      * rawdata[lt:k] as (unescaped) data where k is just past the next '>'
+      * from lt+1, else the next '<', else lt+1 — then CONTINUE parsing at k
+      * (html.parser re-enters the loop; the remainder may hold real markup).
+      */
+    def bogusEof(lt: Int): Int = {
+      val gt = s.indexOf('>', lt + 1)
+      val k =
+        if (gt >= 0) gt + 1
+        else {
+          val lt2 = s.indexOf('<', lt + 1)
+          if (lt2 >= 0) lt2 else lt + 1
+        }
+      emitData(lt, k)
+      k
+    }
+
     while (i < n) {
       if (cdata != null) {
         // scan for </\s*name (case-insensitive)
@@ -208,24 +232,25 @@ object HtmlText extends Serializable {
                   if (cdataElements.contains(name)) cdata = name
                 }
               })
-              if (i < 0) { emitData(lt, n); i = n } // unterminated at EOF -> data
+              if (i < 0) i = bogusEof(lt) // unterminated at EOF
             } else if (c1 == '/') {
               i = parseEndTag(s, lt, name => popToTag(name))
-              if (i < 0) { emitData(lt, n); i = n }
+              if (i < 0) i = bogusEof(lt)
             } else if (s.startsWith("<!--", lt)) {
               val end = s.indexOf("-->", lt + 4)
-              if (end < 0) { emitData(lt, n); i = n }
+              if (end < 0) i = bogusEof(lt)
               else i = end + 3
             } else if (s.startsWith("<![", lt)) {
-              // marked section: ]]> (tolerating ws) or ]> fallback
-              val close = indexOfMarkedClose(s, lt + 3)
-              if (close < 0) { emitData(lt, n); i = n } else i = close
+              // marked section: close pattern depends on the section name
+              // (parse_marked_section); malformed/unknown names FAIL the page
+              val close = parseMarkedSection(s, lt)
+              if (close < 0) i = bogusEof(lt) else i = close
             } else if (c1 == '!') {
               val gt = s.indexOf('>', lt + 2)
-              if (gt < 0) { emitData(lt, n); i = n } else i = gt + 1
+              if (gt < 0) i = bogusEof(lt) else i = gt + 1
             } else if (c1 == '?') {
               val gt = s.indexOf('>', lt + 2)
-              if (gt < 0) { emitData(lt, n); i = n } else i = gt + 1
+              if (gt < 0) i = bogusEof(lt) else i = gt + 1
             } else {
               // bare '<' treated as data
               if (!parentExcludes) out.append('<')
@@ -290,21 +315,53 @@ object HtmlText extends Serializable {
     }
   }
 
-  /** Find the end of a marked section opened at `<![`; from = first index
-    * after "<![". Returns index after the close, or -1.
+  // _markupbase.parse_marked_section name classes
+  private val stdSections = Set("temp", "cdata", "ignore", "include", "rcdata")
+  private val msSections = Set("if", "else", "endif")
+
+  /** CPython `_markupbase.parse_marked_section` at s(lt..lt+2)=="<![":
+    * scan the section name (`[a-zA-Z][-_.a-zA-Z0-9]*\s*`); CDATA-class names
+    * close at the first `]\s*]\s*>`, MS-conditional names ("if"/"else"/
+    * "endif") close at the first `]\s*>`, any other name (or a non-letter
+    * where the name should start) raises — which fails the WHOLE page in the
+    * reference (FileParser catches and returns ''). Returns the index after
+    * the close, or -1 when incomplete at EOF (name or close runs off the
+    * buffer — goahead's bogus-data fallback applies).
     */
-  private def indexOfMarkedClose(s: String, from: Int): Int = {
+  private def parseMarkedSection(s: String, lt: Int): Int = {
+    val n = s.length
+    val from = lt + 3
+    if (from >= n) return -1 // _scan_name: i == n -> incomplete
+    val c0 = s.charAt(from)
+    if (!isNameStart(c0)) throw new ParseFailure // "expected name token"
+    var j = from + 1
+    while (j < n && (isNameStart(s.charAt(j)) || (s.charAt(j) >= '0' && s.charAt(j) <= '9') ||
+      s.charAt(j) == '-' || s.charAt(j) == '_' || s.charAt(j) == '.')) j += 1
+    val nameEnd = j
+    while (j < n && isWs(s.charAt(j))) j += 1
+    if (j == n) return -1 // name (incl. trailing ws) hits buffer end -> incomplete
+    val name = s.substring(from, nameEnd).toLowerCase
+    if (stdSections.contains(name)) searchMarkedClose(s, from, doubleBracket = true)
+    else if (msSections.contains(name)) searchMarkedClose(s, from, doubleBracket = false)
+    else throw new ParseFailure // unknown status keyword
+  }
+
+  /** First match of `]\s*]\s*>` (doubleBracket) or `]\s*>` at/after `from`;
+    * returns the index after '>' or -1.
+    */
+  private def searchMarkedClose(s: String, from: Int, doubleBracket: Boolean): Int = {
     val n = s.length
     var j = s.indexOf(']', from)
     while (j >= 0) {
       var k = j + 1
       while (k < n && isWs(s.charAt(k))) k += 1
-      if (k < n && s.charAt(k) == ']') {
-        var m = k + 1
-        while (m < n && isWs(s.charAt(m))) m += 1
-        if (m < n && s.charAt(m) == '>') return m + 1
-      }
-      if (k < n && s.charAt(k) == '>') return k + 1 // ]> fallback (IE conds)
+      if (doubleBracket) {
+        if (k < n && s.charAt(k) == ']') {
+          var m = k + 1
+          while (m < n && isWs(s.charAt(m))) m += 1
+          if (m < n && s.charAt(m) == '>') return m + 1
+        }
+      } else if (k < n && s.charAt(k) == '>') return k + 1
       j = s.indexOf(']', j + 1)
     }
     -1
@@ -317,9 +374,13 @@ object HtmlText extends Serializable {
     text.replace("\n\n\n", "\n").replace("\n\n", "\n").replace("  ", " ")
 
   /** Full extraction: soup.text + normalize — the byte-identical per-url
-    * invariant of the north rule.
+    * invariant of the north rule. A parser AssertionError (malformed marked
+    * section) fails the whole page in the reference — FileParser.read
+    * catches it and returns '' (file_parser.py:218-221), reproduced here.
     */
-  def extract(html: String): String = normalize(soupText(html))
+  def extract(html: String): String =
+    try normalize(soupText(html))
+    catch { case _: ParseFailure => "" }
 
   /** Extraction from raw page bytes (UTF-8, matching `open(path).read()`
     * with a UTF-8 locale).

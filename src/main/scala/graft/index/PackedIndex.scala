@@ -1,8 +1,9 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Bm25Params
+import graft.io.{ParquetDirIO, TableIO}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Persisted packed posting-list row: all blocks of one term within one
@@ -167,7 +168,8 @@ object PackedIndex {
   def build(tokenizedIn: DataFrame, dir: String,
             shardBits: Int = 16, groups: Int = 4,
             p: Bm25Params = Bm25Params(),
-            blockSize: Int = Codec.DefaultBlockSize): Seq[GroupManifest] = {
+            blockSize: Int = Codec.DefaultBlockSize,
+            io: TableIO = ParquetDirIO): Seq[GroupManifest] = {
     val spark = tokenizedIn.sparkSession
     Files.createDirectories(Paths.get(dir, "manifest"))
     // The tokenized frame feeds stats AND every group job, and upstream it
@@ -176,17 +178,16 @@ object PackedIndex {
     // extraction) and every consumer scans the cheap columnar artifact.
     // Runtime caching (persist) was measured pathological under many-core
     // local mode (MemoryStore churn) and is less resumable anyway.
-    val docsPath = Paths.get(dir, "docs")
-    if (!Files.exists(docsPath.resolve("_SUCCESS")))
-      tokenizedIn.write.mode(SaveMode.Overwrite).parquet(docsPath.toString)
-    val tokenized = spark.read.parquet(docsPath.toString)
-    buildFrom(tokenized, dir, shardBits, groups, p, blockSize)
+    val docsPath = Paths.get(dir, "docs").toString
+    if (!io.committed(docsPath)) io.write(tokenizedIn, docsPath)
+    val tokenized = io.read(spark, docsPath)
+    buildFrom(tokenized, dir, shardBits, groups, p, blockSize, io)
   }
 
   private def buildFrom(tokenized: DataFrame, dir: String,
                         shardBits: Int, groups: Int,
                         p: Bm25Params,
-                        blockSize: Int): Seq[GroupManifest] = {
+                        blockSize: Int, io: TableIO): Seq[GroupManifest] = {
     val spark = tokenized.sparkSession
 
     // stage 1: ONE column-pruned pass computing per-shard (docs, sumDl) —
@@ -223,8 +224,7 @@ object PackedIndex {
           else (g.toLong + 1) * shardsPerGroup << shardBits
         val groupDocs = tokenized.filter(col("doc_id") >= lo && col("doc_id") < hi)
         val packed = packGroup(postingsWithDl(groupDocs), packStats, Some(counters))
-        packed.write.mode(SaveMode.Overwrite)
-          .partitionBy("shard").parquet(s"$dir/postings/grp=$g")
+        io.write(packed.toDF(), s"$dir/postings/grp=$g", Seq("shard"))
         val (gDocs, gSumDl) = groupTotals.getOrElse(g, (0L, 0L))
         val man = GroupManifest(g, counters.terms.value, counters.postings.value,
           counters.bytes.value, (System.nanoTime() - t0) / 1e6, gDocs, gSumDl)
@@ -241,11 +241,10 @@ object PackedIndex {
     if (!Files.exists(Paths.get(dir, "stats.json"))) {
       val n = manifests.map(_.docs).sum
       val avgdl = manifests.map(_.sumDl).sum.toDouble / n
-      spark.read.parquet(s"$dir/postings")
-        .groupBy(col("term")).agg(sum(col("nPostings")).as("df"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
+      io.write(io.read(spark, s"$dir/postings")
+        .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$dir/df")
       val avgRawIdf =
-        InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/df"), n)
+        InvertedIndex.avgRawIdf(io.read(spark, s"$dir/df"), n)
       writeStats(dir, IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon,
         shardBits, blockSize), dfDir = "df")
     }
@@ -275,7 +274,8 @@ object PackedIndex {
     *                     existing corpus size (see
     *                     [[graft.corpus.PagesPipeline.appendPages]]).
     */
-  def append(newTokenized: DataFrame, dir: String): GroupManifest = {
+  def append(newTokenized: DataFrame, dir: String,
+             io: TableIO = ParquetDirIO): GroupManifest = {
     val spark = newTokenized.sparkSession
     val old = readStats(dir)
     val manifests = listManifests(dir)
@@ -295,18 +295,16 @@ object PackedIndex {
     val counters = new PackCounters(spark)
     val packStats = IndexStats(n, avgdl, 0.0, old.k1, old.b, old.epsilon,
       old.shardBits, old.blockSize)
-    packGroup(postingsWithDl(newTokenized), packStats, Some(counters))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("shard").parquet(s"$dir/postings/grp=$nextGroup")
+    io.write(packGroup(postingsWithDl(newTokenized), packStats, Some(counters)).toDF(),
+      s"$dir/postings/grp=$nextGroup", Seq("shard"))
 
     // recompute global df from the packed rows (column-pruned scan) into a
     // fresh versioned dir; readers keep using the old dir until stats.json
     // (which names the live dir) is atomically replaced
     val newDfDir = s"df-g$nextGroup"
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("term")).agg(sum(col("nPostings")).as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$newDfDir")
-    val avgRawIdf = InvertedIndex.avgRawIdf(spark.read.parquet(s"$dir/$newDfDir"), n)
+    io.write(io.read(spark, s"$dir/postings")
+      .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$dir/$newDfDir")
+    val avgRawIdf = InvertedIndex.avgRawIdf(io.read(spark, s"$dir/$newDfDir"), n)
     writeStats(dir, IndexStats(n, avgdl, avgRawIdf, old.k1, old.b, old.epsilon,
       old.shardBits, old.blockSize), dfDir = newDfDir)
 
@@ -330,17 +328,19 @@ object PackedIndex {
         readManifest(f.toPath)
     }.toSeq.sortBy(_.group)
 
-  def loadPostings(spark: SparkSession, dir: String): Dataset[PackedPostings] = {
+  def loadPostings(spark: SparkSession, dir: String,
+                   io: TableIO = ParquetDirIO): Dataset[PackedPostings] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/postings")
+    io.read(spark, s"$dir/postings")
       .select("shard", "term", "nPostings", "blocks").as[PackedPostings]
   }
 
   /** The LIVE df table — the dir named by stats.json (appends write fresh
     * versioned dirs and flip the pointer atomically with the stats).
     */
-  def loadDf(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/${readDfDir(dir)}")
+  def loadDf(spark: SparkSession, dir: String,
+             io: TableIO = ParquetDirIO): DataFrame =
+    io.read(spark, s"$dir/${readDfDir(dir)}")
 
   // ---- tiny JSON sidecars ---------------------------------------------
 

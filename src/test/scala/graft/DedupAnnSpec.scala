@@ -59,6 +59,45 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("minhash estimate tracks exact jaccard (estimator golden)") {
+    // doc k shares 40-2k of its 40 tokens with doc 0 -> graded true jaccard
+    val docs = (0 until 8).map { k =>
+      val toks = (0 until 40).map(i => if (i < 2 * k) s"sub${k}_$i" else s"w$i")
+      (k.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, n = 2)
+    // exact jaccard of doc 0 vs k from shingle sets
+    val sets = sh.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    // 64 hashes -> estimator std ~ sqrt(j(1-j)/64) <= 0.0625
+    val sigs = Dedup.minhashSignatures(sh, numHashes = 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    (1 until 8).foreach { k =>
+      val a = sets(0L); val b = sets(k.toLong)
+      val exact = (a & b).size.toDouble / (a | b).size
+      val est = sigs(0L).zip(sigs(k.toLong)).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - exact) <= 0.25,
+        s"doc 0 vs $k: est $est vs exact $exact")
+    }
+  }
+
+  test("simhash hamming scales with dissimilarity (estimator golden)") {
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    def mutate(k: Int) =
+      (0 until 60).map(i => if (i < k) s"chg$i" else s"tok$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, mutate(1)), (2L, mutate(10)),
+      (3L, mutate(30)), (4L, (500 until 560).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(0L, 1L) <= ham(0L, 2L))
+    assert(ham(0L, 2L) < ham(0L, 3L))
+    assert(ham(0L, 3L) <= ham(0L, 4L) + 8) // heavy mutation approaches independent
+    // independent 64-bit fingerprints: hamming ~ Binomial(64, 0.5)
+    assert(ham(0L, 4L) >= 16 && ham(0L, 4L) <= 48, s"disjoint hamming ${ham(0L, 4L)}")
+    assert(ham(0L, 1L) <= 12, s"near-dup hamming ${ham(0L, 1L)}")
+  }
+
   test("brute-force cosine top-k is exact and deterministically tie-broken") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),

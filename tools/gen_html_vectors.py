@@ -41,10 +41,16 @@ class TextEmu(HTMLParser):
         return "".join(self.out)
 
 def extract(html):
-    p = TextEmu()
-    p.feed(html)
-    p.close()
-    t = p.text()
+    # FileParser.read catches ANY parser exception (e.g. the AssertionError
+    # html.parser raises for malformed/unknown marked sections) and returns
+    # text '' (file_parser.py:218-221); the replaces then run on ''.
+    try:
+        p = TextEmu()
+        p.feed(html)
+        p.close()
+        t = p.text()
+    except Exception:
+        t = ""
     t = t.replace("\n\n\n", "\n").replace("\n\n", "\n").replace("  ", " ")
     return t
 
@@ -83,6 +89,25 @@ hand = [
     "<![if !IE]>conditional<![endif]>after",
     "<!-- unterminated comment",
     "<!unterminated decl",
+    # marked-section close patterns are NAME-dependent (_markupbase):
+    # CDATA-class needs ]]>, MS-conditionals close at ]>, unknown names or a
+    # non-letter after <![ raise -> whole page yields ''
+    "<![CDATA[x]>y]]>z",
+    "<![CDATA[a ] ]  >b]] >c",
+    "<![if IE]>ms conditional stops early]]>tail",
+    "<![endif ]>after-endif",
+    "<![rcdata[q]]>kept",
+    "<![includeme]]>unknown keyword fails the page",
+    "<![3]]>non-letter name fails the page",
+    "<![ CDATA[x]]>space before name fails the page",
+    "<![CDATA[unterminated to eof",
+    "<![if unterminated to eof",
+    # unterminated constructs at EOF re-enter parsing after the next '>'
+    "<a href='x > y' unterminated <b>bold</b>",
+    "<!doctype unterminated <p>para</p>",
+    "<!-- unterminated comment <p>para</p>",
+    "<? unterminated pi <p>para</p>",
+    "</ unterminated endtag <p>para</p>",
     # malformed / tolerance
     "5 < 6 and 7 > 4",
     "a <1invalid> b",
