@@ -52,21 +52,61 @@ object Ann {
     planes.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** Exact cosine between two JVM arrays with the SAME floating-point
+    * association order as [[cosine]] (left-to-right folds starting at 0.0)
+    * so kernel and column-expression paths are bit-identical.
+    */
+  private[graft] def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa > 0 && sb > 0) dot / (sa * sb) else 0.0
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors by cosine (ties: smaller corpus id first). Exact baseline.
-    * queries: (query_id, qvec), corpus: (vec_id, vec) — query side is
-    * broadcast; corpus scan stays partition-local until the tiny top-k merge.
+    * vectors by cosine (ties: smaller corpus id first). Exact baseline with
+    * the scale-correct physical shape: the query batch is broadcast, each
+    * corpus partition keeps one bounded heap per query (the faiss
+    * ResultHeap pattern, retrieval_auto.py:335-347), and only
+    * numPartitions*k candidate rows per query reach the final per-query
+    * rank — the corpus itself never shuffles. (The earlier window-over-
+    * all-scored-rows version shuffled |corpus| x |queries| rows.)
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("query_id").cast("long"),
-      col("qvec").cast("array<double>").as("qvec"))
-    val c = corpus.select(col("vec_id").cast("long"),
-      col("vec").cast("array<double>").as("vec"))
-    val scored = c.join(broadcast(q))
-      .withColumn("cos", cosine(col("qvec"), col("vec")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(qArr)
+    val partial = corpus
+      .select(col("vec_id").cast("long"), col("vec").cast("array<double>").as("vec"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = qs.map(_ => new graft.query.Wand.TopKHeap(k))
+        it.foreach { case (id, vecSeq) =>
+          val vec = vecSeq.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            heaps(qi).offer(cosineArr(qs(qi)._2, vec), id)
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _), h) =>
+          h.drain().iterator.map { case (s, d) => (qid, d, s) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }

@@ -267,8 +267,10 @@ object Wand {
   /** Bounded top-k heap keeping the k best under (score desc, docId asc);
     * root is the WORST kept entry. Primitive parallel arrays — the kernel
     * runs millions of offers per task, so the heap must be allocation-free.
+    * Shared with the dense brute-force kernel ([[graft.ann.Ann]]) — the
+    * faiss ResultHeap analogue (retrieval_auto.py:335-347).
     */
-  private final class TopKHeap(k: Int) {
+  private[graft] final class TopKHeap(k: Int) {
     private val cap = math.min(k, 1 << 20) // guard k=MaxValue: grow on demand
     private var scores = new Array[Double](math.min(cap, 1024))
     private var docs = new Array[Long](math.min(cap, 1024))
