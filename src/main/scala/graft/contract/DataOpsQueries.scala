@@ -33,7 +33,8 @@ object DataOpsQueries {
         .select(col("doc_a"), col("doc_b"),
           round(col("est_jaccard"), 6).as("est_jaccard_r"))),
 
-    // SimHash fingerprints (xxhash64 — rows-only check)
+    // SimHash fingerprints (md5-per-bit hash family — DuckDB recomputes
+    // the 60-bit fingerprints exactly)
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(DocsCorpus.documents(s, dir))
         .select(col("doc_id"), col("simhash"))),
@@ -145,6 +146,17 @@ object DataOpsQueries {
           |JOIN sizes sa ON sa.doc_id = doc_a
           |JOIN sizes sb ON sb.doc_id = doc_b
           |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05""".stripMargin),
+
+    "q_simhash" ->
+      (tokCte +
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 60), b ->
+          |    CASE WHEN list_sum(list_transform(toks, t ->
+          |               CASE WHEN substr(md5(b || '|' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+          |         THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+          |         ELSE CAST(0 AS BIGINT) END)),
+          |    (a, b) -> a | b) AS simhash
+          |FROM tok WHERE len(toks) > 0""".stripMargin),
 
     "q_minhash_pairs" ->
       (tokCte +

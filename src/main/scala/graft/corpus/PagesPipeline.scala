@@ -47,10 +47,14 @@ object PagesPipeline {
                  io: graft.io.TableIO = graft.io.ParquetDirIO): Seq[PackedIndex.GroupManifest] = {
     val spark = pages.sparkSession
     val rawPath = java.nio.file.Paths.get(dir, "docs_raw").toString
-    if (!io.committed(rawPath)) io.write(extracted(pages), rawPath)
+    // ONE staged artifact: extracted text WITH dense doc_id. Tokenization is
+    // re-derived on the fly by each consumer (cheap, narrow), so the build
+    // never writes/reads the much larger terms-array form, and the group
+    // jobs' doc_id range predicates push straight into this parquet.
+    if (!io.committed(rawPath)) io.write(DocIds.assignDense(extracted(pages)), rawPath)
     val raw = io.read(spark, rawPath)
-    PackedIndex.build(tokenized(DocIds.assignDense(raw)), dir, shardBits, groups, p,
-      io = io)
+    PackedIndex.build(tokenized(raw), dir, shardBits, groups, p,
+      io = io, stageInput = false)
   }
 
   /** Incremental ingest: extract + append new pages to an existing index

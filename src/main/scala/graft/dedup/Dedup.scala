@@ -139,29 +139,41 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash from token xxhash64s: bit b of the fingerprint is 1 iff
-    * the sum over tokens of sign(bit b of xxhash64(token)) is positive.
-    * Near-dups = fingerprints within `maxHamming` bits; candidates pair on
-    * 16-bit fingerprint chunks (any chunk equal => candidate; catches all
-    * pairs with hamming <= 3 by pigeonhole over 4 chunks).
+  /** SimHash width: 60 bits — 4 pigeonhole chunks of 15 bits, and every
+    * `1L << b` stays in the positive signed-long range in BOTH engines
+    * (the DuckDB oracle OR-folds the same shifts; bit 63 would overflow
+    * its BIGINT shift).
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash: bit b of the fingerprint is 1 iff the sum over token
+    * OCCURRENCES of sign(hash_b(token)) is positive, where hash_b's sign is
+    * the top bit of md5("b|" + token) (first hex char >= '8'). One
+    * independent md5 per bit keeps the whole estimator cross-engine
+    * verifiable — the DuckDB oracle recomputes fingerprints exactly; a
+    * production variant can swap in a 64-bit native hash family behind the
+    * same shape. Near-dups = fingerprints within `maxHamming` bits;
+    * candidates pair on 15-bit fingerprint chunks (any chunk equal =>
+    * candidate; catches all pairs with hamming <= 3 by pigeonhole over 4
+    * chunks).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val toks = graft.tokenize.PyTokenize.asciiSplit(lower(col(textCol)))
     val exploded = docs.select(col(idCol).as("doc_id"), explode(toks).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(substring(md5(concat(lit(s"$b|"), col("tok"))), 1, 1) >= "8", 1)
+        .otherwise(-1)).as(s"b$b"))
     exploded.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
             x.bitwiseOR(y)).as("simhash"))
   }
 
-  /** Candidate near-dup pairs by 16-bit chunk collision + exact hamming
+  /** Candidate near-dup pairs by 15-bit chunk collision + exact hamming
     * filter. Returns (doc_a, doc_b, hamming <= maxHamming).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
@@ -170,7 +182,7 @@ object Dedup {
     val sh = simhash(docs, idCol, textCol)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val small = chunked.join(
       chunked.groupBy(col("chunk"), col("ckey")).agg(count(lit(1)).as("bsz"))

@@ -120,8 +120,11 @@ object PackedIndex {
     val avgdl = stats.avgdl
     val blockSize = stats.blockSize
     // explicit partition count: pack work is CPU-bound per shard run; AQE's
-    // byte-based coalescing would serialize it into a few long tasks
-    val parts = math.max(spark.sparkContext.defaultParallelism * 2, 16)
+    // byte-based coalescing would serialize it into a few long tasks. x4
+    // over-decomposition smooths wave/tail imbalance (the pack stage is the
+    // longest reduce in the build; at 16 fixed partitions its stragglers
+    // left cores idle at higher parallelism).
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
     val withShard = postingsDl
       .withColumn("shard", shiftright(col("doc_id"), stats.shardBits).cast("int"))
       .select(col("shard"), col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -165,13 +168,25 @@ object PackedIndex {
     *               an independent Spark job whose output is checkpointed.
     * @return per-group metrics (including skipped/resumed groups).
     */
+  /** @param stageInput stage `tokenizedIn` to parquet under the index dir
+    *                    before building (resume checkpoint; pays one
+    *                    write+read of the terms arrays). Pass false when the
+    *                    caller's frame is ALREADY a cheap re-derivation from
+    *                    a staged artifact with a physical doc_id column (so
+    *                    the per-group doc_id range predicates push down) —
+    *                    e.g. PagesPipeline, which stages extracted docs with
+    *                    ids and tokenizes on the fly.
+    */
   def build(tokenizedIn: DataFrame, dir: String,
             shardBits: Int = 16, groups: Int = 4,
             p: Bm25Params = Bm25Params(),
             blockSize: Int = Codec.DefaultBlockSize,
-            io: TableIO = ParquetDirIO): Seq[GroupManifest] = {
+            io: TableIO = ParquetDirIO,
+            stageInput: Boolean = true): Seq[GroupManifest] = {
     val spark = tokenizedIn.sparkSession
     Files.createDirectories(Paths.get(dir, "manifest"))
+    if (!stageInput)
+      return buildFrom(tokenizedIn, dir, shardBits, groups, p, blockSize, io)
     // The tokenized frame feeds stats AND every group job, and upstream it
     // usually contains the expensive extraction kernel. It is STAGED to
     // parquet once (a real checkpoint: resume skips straight past
@@ -210,9 +225,14 @@ object PackedIndex {
     // scan of the staged tokenized parquet (doc_id between the group's shard
     // bounds — pushed to parquet row-group stats, so the corpus is scanned
     // once per build in total) -> narrow per-doc tf kernel -> ONE (shard)
-    // shuffle -> pack.
+    // shuffle -> pack. Group jobs are INDEPENDENT (disjoint inputs, disjoint
+    // output dirs, own counters/manifests), so they are submitted
+    // concurrently — Spark schedules their stages over the shared executor
+    // pool, overlapping one job's straggler tail with the next job's work.
+    // Each group still commits its manifest the moment ITS output completes,
+    // so crash/resume granularity is unchanged.
     val packStats = IndexStats(0L, 0.0, 0.0, p.k1, p.b, p.epsilon, shardBits, blockSize)
-    val manifests = (0 until groups).map { g =>
+    def buildGroup(g: Int): GroupManifest = {
       val manifestPath = Paths.get(dir, "manifest", s"group-$g.json")
       if (Files.exists(manifestPath)) readManifest(manifestPath) // resume: skip
       else {
@@ -232,6 +252,18 @@ object PackedIndex {
         man
       }
     }
+    val manifests: Seq[GroupManifest] =
+      if (groups == 1) Seq(buildGroup(0))
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(groups)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence((0 until groups).map(g => Future(buildGroup(g)))),
+          Duration.Inf)
+        finally pool.shutdown()
+      }
 
     // stage 3: global df table from the packed rows (column-pruned scan of
     // (term, nPostings) only — the blocks column is never read) + the

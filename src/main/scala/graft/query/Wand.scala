@@ -32,6 +32,13 @@ object Wand {
   /** Safety margin for floating-point score upper bounds (see TermPostings). */
   private val BoundPad: Double = 1.0 + 4 * math.ulp(1.0)
 
+  /** Above this many distinct query terms, `term IN (...)` predicates are
+    * replaced by a broadcast semi-join: a 50k-element In pushed into the
+    * parquet scan is slower to evaluate per row-group than a hash probe,
+    * and bloats the plan string. Below it, pushdown prunes row groups.
+    */
+  private val IsinThreshold = 512
+
   /** One query prepared for the kernel. `tokens` is the raw token sequence
     * (repeats preserved — each occurrence scores, matching the reference's
     * per-occurrence loop); `idf` maps each distinct matched term.
@@ -54,9 +61,18 @@ object Wand {
     val allTerms = tokenized.flatMap(_._2).distinct
     val dfMap: Map[String, Long] =
       if (allTerms.isEmpty) Map.empty
-      else PackedIndex.loadDf(spark, indexDir)
-        .filter(col("term").isin(allTerms: _*))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else {
+        val dfTable = PackedIndex.loadDf(spark, indexDir)
+        val restricted =
+          if (allTerms.size <= IsinThreshold)
+            dfTable.filter(col("term").isin(allTerms: _*))
+          else {
+            import spark.implicits._
+            dfTable.join(broadcast(allTerms.toDF("term")), "term")
+          }
+        restricted.select(col("term"), col("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     val prepared = tokenized.map { case (id, toks) =>
       val idf = toks.distinct.flatMap { t =>
         dfMap.get(t).map(df => t -> stats.idf(df))
@@ -78,9 +94,14 @@ object Wand {
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
       .withColumn("rank", lit(1)).limit(0)
     val bc = spark.sparkContext.broadcast((stats, prepared))
-    val matched = PackedIndex.loadPostings(spark, indexDir)
-      .filter(col("term").isin(terms: _*))
-      .as[PackedPostings]
+    val postings = PackedIndex.loadPostings(spark, indexDir)
+    val matched =
+      (if (terms.size <= IsinThreshold)
+        postings.filter(col("term").isin(terms: _*))
+      else
+        postings.join(broadcast(terms.toDF("term")), "term"))
+        .select(col("shard"), col("term"), col("nPostings"), col("blocks"))
+        .as[PackedPostings]
     // Explicit partition count: the WAND stage is compute-bound per shard
     // group, not bytes-bound — AQE's byte-based coalescing would pack the
     // (small, compressed) matched postings into a handful of long serial

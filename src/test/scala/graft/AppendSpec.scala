@@ -49,15 +49,17 @@ class AppendSpec extends SparkSpec {
       // map doc_id -> url via the same id-assignment the build used
       val ids =
         if (dir == dirIncr) {
-          val base = graft.index.DocIds.assignDense(
-            spark.read.parquet(s"$dir/docs_raw")).select(col("doc_id"), col("url"))
+          // docs_raw carries its dense doc_id; the append staging does not
+          // (ids are offset at append time), so re-derive those
+          val base = spark.read.parquet(s"$dir/docs_raw")
+            .select(col("doc_id"), col("url"))
           val n0 = 200L
           val app = graft.index.DocIds.assignDense(
             spark.read.parquet(s"$dir/docs_raw_append_2"))
             .select((col("doc_id") + n0).as("doc_id"), col("url"))
           base.unionByName(app)
-        } else graft.index.DocIds.assignDense(
-          spark.read.parquet(s"$dir/docs_raw")).select(col("doc_id"), col("url"))
+        } else spark.read.parquet(s"$dir/docs_raw")
+          .select(col("doc_id"), col("url"))
       hits.join(ids, "doc_id")
         .select(col("query_id"), col("url"), col("score"))
         .collect()

@@ -32,9 +32,9 @@ class PagesSpec extends SparkSpec {
       shardBits = 7, groups = 2)
     assert(manifests.map(_.postings).sum > 0)
 
-    // oracle corpus = the index's OWN staged docs artifact (docIds are a
-    // function of the staged layout, so the canonical mapping lives there)
-    val docRows = spark.read.parquet(s"$dir/docs")
+    // oracle corpus = the index's OWN staged artifact (docs_raw carries the
+    // dense doc_id; tokenization is re-derived exactly like the build does)
+    val docRows = PagesPipeline.tokenized(spark.read.parquet(s"$dir/docs_raw"))
       .select(col("doc_id"), col("terms")).collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).toArray)).sortBy(_._1)
     assert(docRows.map(_._1).toSeq == (0L until 400L)) // dense ids
