@@ -39,7 +39,7 @@ object Bench {
       .write.mode("overwrite").parquet(pagesPath)
     val pages = spark.read.parquet(pagesPath)
     val t0 = System.nanoTime()
-    corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 10, groups = 2)
+    corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 12, groups = 2)
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     val queries = queryBatch(nQueries)

@@ -25,8 +25,8 @@ object OracleBench {
     val dir = java.nio.file.Files.createTempDirectory("graft-obench").toString
     corpus.PagesPipeline.buildIndex(
       corpus.PagesGen.pages(spark, nPages, 64).toDF(), dir,
-      shardBits = 10, groups = 2)
-    val docs = spark.read.parquet(s"$dir/docs")
+      shardBits = 12, groups = 2)
+    val docs = corpus.PagesPipeline.tokenized(spark.read.parquet(s"$dir/docs_raw"))
       .select(col("doc_id"), col("terms")).collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).toArray)).sortBy(_._1)
     spark.stop()

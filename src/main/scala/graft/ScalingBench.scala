@@ -54,7 +54,7 @@ object ScalingBench {
       val dir = Files.createTempDirectory(s"graft-scale-$cores").toString
       val pages = spark.read.parquet(pagesPath)
       val t0 = System.nanoTime()
-      corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 10, groups = 2)
+      corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 12, groups = 2)
       val buildSec = (System.nanoTime() - t0) / 1e9
       val queries = Bench.queryBatch(nQueries)
       query.Wand.search(spark, dir, queries, k = 10).count() // warm-up
@@ -120,7 +120,7 @@ object ScalingBench {
            |seed=42, ~1-3 KB html each), identical parquet input for both runs.
            |Job: full north-rule pipeline — extract (byte-identical kernel) ->
            |tokenize -> dense docIds -> packed postings (delta+varint blocks,
-           |block-max metadata, 2 checkpointed groups, doc-sharded 2^10) ->
+           |block-max metadata, 2 checkpointed groups, doc-sharded 2^12) ->
            |block-max WAND top-10 for ${low.nQueries} mixed hot/rare queries
            |(warm, batch of ${low.nQueries}).
            |

@@ -88,6 +88,12 @@ object DataOpsQueries {
         TextAnalysis.qualityScore(t).as("quality_r"))
     }),
 
+    // BPE-ish regex token counting (training-budget estimator)
+    "q_token_bpeish" -> ((s, dir) =>
+      DocsCorpus.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeishCount(col("text")).cast("long").as("n_bpeish"))),
+
     // language-ID heuristic
     "q_lang_id" -> ((s, dir) =>
       DocsCorpus.documents(s, dir)
@@ -238,6 +244,13 @@ object DataOpsQueries {
         |             * greatest(0.0, 1.0 - pr * 5.0)
         |             * greatest(0.0, 1.0 - dr * 5.0), 6) AS quality_r
         |FROM f""".stripMargin,
+
+    "q_token_bpeish" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(regexp_extract_all(text,
+        |         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+        |         p -> NOT regexp_matches(p, '^\s+$'))) AS BIGINT) AS n_bpeish
+        |FROM documents""".stripMargin,
 
     "q_lang_id" ->
       (tokCte +

@@ -36,7 +36,11 @@ final case class IndexStats(
 /** Build + store of the packed inverted index.
   *
   * Layout under `dir/`:
-  *   postings/grp=G/shard=S/  (parquet) packed rows, doc-partitioned
+  *   postings/grp=G/          (parquet) packed rows; `shard` is a data
+  *                            column (files are shard-clustered by the
+  *                            sorted pack shuffle — a dir per shard would
+  *                            mean thousands of driver-committed files and
+  *                            one scheduler task per dir on every read)
   *   df/ (or df-gN/)          (parquet) (term, df) global document frequency;
   *                            the LIVE dir is named by stats.json's `dfDir`
   *   stats.json                          IndexStats + dfDir pointer
@@ -244,7 +248,12 @@ object PackedIndex {
           else (g.toLong + 1) * shardsPerGroup << shardBits
         val groupDocs = tokenized.filter(col("doc_id") >= lo && col("doc_id") < hi)
         val packed = packGroup(postingsWithDl(groupDocs), packStats, Some(counters))
-        io.write(packed.toDF(), s"$dir/postings/grp=$g", Seq("shard"))
+        // shard stays a DATA column (files are already clustered by shard via
+        // the sorted shuffle): a dir-per-shard partitionBy layout added one
+        // driver-serial file commit + one scheduler task per shard dir on
+        // every read — thousands of tiny files at web scale for zero pruning
+        // benefit (queries prune by TERM, not shard)
+        io.write(packed.toDF(), s"$dir/postings/grp=$g")
         val (gDocs, gSumDl) = groupTotals.getOrElse(g, (0L, 0L))
         val man = GroupManifest(g, counters.terms.value, counters.postings.value,
           counters.bytes.value, (System.nanoTime() - t0) / 1e6, gDocs, gSumDl)
@@ -328,7 +337,7 @@ object PackedIndex {
     val packStats = IndexStats(n, avgdl, 0.0, old.k1, old.b, old.epsilon,
       old.shardBits, old.blockSize)
     io.write(packGroup(postingsWithDl(newTokenized), packStats, Some(counters)).toDF(),
-      s"$dir/postings/grp=$nextGroup", Seq("shard"))
+      s"$dir/postings/grp=$nextGroup")
 
     // recompute global df from the packed rows (column-pruned scan) into a
     // fresh versioned dir; readers keep using the old dir until stats.json

@@ -27,6 +27,23 @@ object TextAnalysis {
       (acc, w) => acc + lit(1) + (length(w) / lit(4)).cast("int"))
   }
 
+  /** GPT-2-style BPE pre-tokenizer pattern, restricted to lookahead-free
+    * ASCII classes so Java regex and RE2 (DuckDB) agree match-for-match:
+    * contractions, letter runs, digit runs, punctuation runs (each
+    * optionally space-prefixed), whitespace runs.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish regex piece count: non-whitespace matches of [[BpePattern]] —
+    * the vocabulary-free token-budget estimator a training pipeline uses
+    * for mixture weighting (the real BPE merge table is a model artifact,
+    * out of scope). Oracle-checked: DuckDB recomputes the identical count.
+    */
+  def bpeishCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
+      p => !(p rlike "^\\s+$")))
+
   /** Quality features per document (ratios in [0,1], safe on empty text). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val n = length(text).cast("double")
