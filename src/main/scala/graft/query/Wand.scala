@@ -130,16 +130,17 @@ object Wand {
     if (k > 0) ranked.filter(col("rank") <= k) else ranked
   }
 
-  /** Dataset-typed query batch: the million-query path. A driver-side Seq
-    * caps the batch at what one broadcast holds; here the query set stays a
+  /** Dataset-typed query batch: the large-batch path. The query set stays a
     * DataFrame (query_id, text) and is processed in deterministic chunks of
     * `chunkSize` (chunk = query_id mod numChunks), each chunk riding the
     * broadcast kernel path while the index-side scan plan is identical per
-    * chunk. Results union lazily — per-chunk driver memory is bounded, the
-    * corpus is never re-shuffled, and chunks could run as independent jobs
-    * on a real cluster.
+    * chunk. What the chunking bounds is the per-JOB broadcast and per-task
+    * working set (each WAND task iterates one chunk's queries, not the
+    * whole batch); on a real cluster each chunk is an independent job that
+    * a driver can run (and retry) separately, streaming results to a sink
+    * between chunks instead of union-ing. The corpus is never re-shuffled.
     *
-    * Parity: identical to [[search]] on the same batch (WandDatasetSpec).
+    * Parity: identical to [[search]] on the same batch (RetrieverSpec).
     */
   def searchDs(spark: SparkSession, indexDir: String, queries: DataFrame,
                k: Int, chunkSize: Int = 10000): DataFrame = {

@@ -43,6 +43,25 @@ class RetrieverSpec extends SparkSpec {
     assert(r.getSeq[Double](6) == Seq(23.0, 44.0))
   }
 
+  test("wide-vocabulary batch (semi-join term path) equals split batches") {
+    // >512 distinct terms flips the postings restriction from IN-pushdown
+    // to a broadcast semi-join; results must be identical either way
+    val dir = Files.createTempDirectory("graft-widebatch").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 300, 4).toDF(), dir, shardBits = 6, groups = 2)
+    val rnd = new scala.util.Random(11)
+    val batch = (0 until 300).map { qi =>
+      qi.toLong -> (0 until 3).map(_ => s"w${rnd.nextInt(4000)}").mkString(" ")
+    } // ~900 distinct terms -> semi-join path in one call
+    val whole = graft.query.Wand.search(spark, dir, batch, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val halves = (graft.query.Wand.search(spark, dir, batch.take(150), 5).collect() ++
+      graft.query.Wand.search(spark, dir, batch.drop(150), 5).collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(whole == halves)
+    assert(whole.nonEmpty)
+  }
+
   test("Dataset-typed query batch equals the Seq path") {
     val dir = Files.createTempDirectory("graft-dsq").toString
     corpus.PagesPipeline.buildIndex(
