@@ -79,6 +79,7 @@ object Ann {
     * all-scored-rows version shuffled |corpus| x |queries| rows.)
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"bruteForceTopK: k must be positive (got $k)")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qArr = queries
@@ -174,13 +175,18 @@ object Ann {
     * hash-mod sample. cell_id = vec_id/step — no global window needed.
     */
   def seedCentroids(corpus: DataFrame, nCells: Int): DataFrame = {
-    val n = corpus.count()
+    val row = corpus.agg(count(lit(1)), min(col("vec_id").cast("long"))).first()
+    val n = row.getLong(0)
+    val minId = if (row.isNullAt(1)) 0L else row.getLong(1)
     val step = math.max(1L, n / nCells)
+    // offset-safe: stride over (vec_id - minId) so non-zero-based id ranges
+    // still seed up to nCells centroids
+    val rel = col("vec_id").cast("long") - lit(minId)
     corpus.select(col("vec_id").cast("long"),
-      col("vec").cast("array<double>").as("cvec"))
-      .filter(pmod(col("vec_id"), lit(step)) === 0 &&
-        col("vec_id") < lit(step * nCells))
-      .select((col("vec_id") / lit(step)).cast("long").as("cell_id"), col("cvec"))
+      col("vec").cast("array<double>").as("cvec"), rel.as("__rel"))
+      .filter(pmod(col("__rel"), lit(step)) === 0 &&
+        col("__rel") < lit(step * nCells))
+      .select((col("__rel") / lit(step)).cast("long").as("cell_id"), col("cvec"))
   }
 
   /** Lloyd refinement: iterate assign -> per-cell elementwise mean. Each

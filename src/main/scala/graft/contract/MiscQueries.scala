@@ -223,7 +223,7 @@ object MiscQueries {
         |m AS (
         |  SELECT doc_id, unnest(regexp_extract_all(cited, '\[([\d, ]+)\]', 1)) AS grp FROM c),
         |e AS (
-        |  SELECT doc_id, CAST(trim(unnest(string_split(grp, ','))) AS INT) AS cite FROM m)
+        |  SELECT doc_id, TRY_CAST(trim(unnest(string_split(grp, ','))) AS INT) AS cite FROM m)
         |SELECT DISTINCT doc_id, cite FROM e WHERE cite IS NOT NULL""".stripMargin,
 
     "q_dot_sigmoid" ->
@@ -353,7 +353,7 @@ object MiscQueries {
         |         unnest(regexp_extract_all(context, '\[([\d, ]+)\]', 1)) AS grp
         |  FROM ctx),
         |e AS (
-        |  SELECT query_id, ctx_md5, CAST(trim(unnest(string_split(grp, ','))) AS INT) AS cite
+        |  SELECT query_id, ctx_md5, TRY_CAST(trim(unnest(string_split(grp, ','))) AS INT) AS cite
         |  FROM m)
         |SELECT DISTINCT query_id, ctx_md5, cite FROM e WHERE cite IS NOT NULL""".stripMargin,
 
@@ -368,17 +368,11 @@ object MiscQueries {
   )
 }
 
-/** Exposes PipelineQueries' deterministic ranking fixture to siblings. */
+/** Exposes PipelineQueries' deterministic ranking fixture to siblings
+  * (one definition — the q_ranking_tsv/q_rag_pipeline oracles must stay in
+  * lockstep with q_ranking's).
+  */
 object PipelineQueriesAccess {
-  def ranking(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = DocsCorpus.documents(s, dir)
-    val base = docs.select(col("doc_id"), col("n_chars"))
-      .withColumn("query_id", pmod(col("doc_id"), lit(5)).cast("long"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    base.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("doc_id"), col("rank"))
-  }
+  def ranking(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.rankingFixture(s, dir)
 }

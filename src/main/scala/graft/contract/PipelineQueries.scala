@@ -20,7 +20,10 @@ object PipelineQueries {
 
   private val K = 5
 
-  private def ranking(s: SparkSession, dir: String): DataFrame = {
+  /** The shared deterministic ranking fixture (also the q_ranking_tsv /
+    * q_rag_pipeline input via PipelineQueriesAccess).
+    */
+  private[contract] def rankingFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = DocsCorpus.documents(s, dir)
     val base = docs.select(col("doc_id"), col("n_chars"))
       .withColumn("query_id", pmod(col("doc_id"), lit(5)).cast("long"))
@@ -53,16 +56,16 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W1 ranking materialization itself (windowed rank assignment)
-    "q_ranking" -> ((s, dir) => ranking(s, dir)),
+    "q_ranking" -> ((s, dir) => rankingFixture(s, dir)),
 
     // J2 ground-truth label join
     "q_label_join" -> ((s, dir) =>
-      Fusion.label(ranking(s, dir), qrels(s, dir))
+      Fusion.label(rankingFixture(s, dir), qrels(s, dir))
         .select(col("query_id"), col("doc_id"), col("rank"), col("label"))),
 
     // A5-A9 metric battery in one row
     "q_metrics" -> ((s, dir) => {
-      val r = ranking(s, dir)
+      val r = rankingFixture(s, dir)
       val q = qrels(s, dir)
       RankMetrics.summary(r, q, K)
         .select(round(col("recall"), 6).as("recall_r"),
@@ -105,7 +108,7 @@ object PipelineQueries {
     // T8/J3/P6 hard negatives (md5-keyed deterministic pick — the DuckDB
     // oracle reproduces the identical sample)
     "q_hard_negatives" -> ((s, dir) =>
-      Fusion.hardNegatives(ranking(s, dir), qrels(s, dir), lo = 2, hi = 10, n = 3)
+      Fusion.hardNegatives(rankingFixture(s, dir), qrels(s, dir), lo = 2, hi = 10, n = 3)
         .select(col("query_id"), col("doc_id"), col("rank")))
   )
 

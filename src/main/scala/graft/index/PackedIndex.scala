@@ -328,6 +328,24 @@ object PackedIndex {
       .first()
     val nNew = row.getLong(0)
     val newSumDl = row.getLong(1)
+    // fail LOUDLY on manifests that predate the docs/sumDl fields — a
+    // silent oldN=0 would assign colliding doc_ids and corrupt stats.
+    // Legitimate states: clean index (manifest total == stats.n), or a
+    // crash-retry where stats.json already includes THIS batch
+    // (manifest total + nNew == stats.n).
+    require(oldN == old.n || oldN + nNew == old.n,
+      s"append: manifest doc total ($oldN) inconsistent with stats.n " +
+        s"(${old.n}) for a batch of $nNew — manifests lack docs/sumDl " +
+        "(pre-upgrade index) or a DIFFERENT append is in flight; rebuild " +
+        "or let it complete")
+    // GC df dirs superseded by earlier appends (the CURRENT live dir is
+    // never touched; the one superseded by THIS append survives until the
+    // next one, giving in-flight readers a full append-cycle of grace)
+    val live = readDfDir(dir)
+    new java.io.File(dir).listFiles().iterator
+      .filter(f => f.isDirectory && f.getName != live &&
+        (f.getName == "df" || f.getName.startsWith("df-g")))
+      .foreach(deleteRecursively)
     val n = oldN + nNew
     val avgdl = (oldSumDl + newSumDl).toDouble / n
     val nextGroup = 1 + manifests.map(_.group).foldLeft(-1)(math.max)
@@ -362,6 +380,11 @@ object PackedIndex {
     * mid-commit after a crash; manifests are the commit markers).
     */
   def committedDocs(dir: String): Long = listManifests(dir).map(_.docs).sum
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete()
+  }
 
   private def listManifests(dir: String): Seq[GroupManifest] =
     new java.io.File(s"$dir/manifest").listFiles().iterator.collect {

@@ -132,7 +132,7 @@ object Wand {
 
   /** Dataset-typed query batch: the large-batch path. The query set stays a
     * DataFrame (query_id, text) and is processed in deterministic chunks of
-    * `chunkSize` (chunk = query_id mod numChunks), each chunk riding the
+    * `chunkSize` (chunk = hash(query_id) mod numChunks), each chunk riding the
     * broadcast kernel path while the index-side scan plan is identical per
     * chunk. What the chunking bounds is the per-JOB broadcast and per-task
     * working set (each WAND task iterates one chunk's queries, not the
@@ -148,8 +148,11 @@ object Wand {
     val n = q.count()
     if (n == 0) return search(spark, indexDir, Nil, k)
     val numChunks = math.max(1L, (n + chunkSize - 1) / chunkSize)
+    // chunk on a HASH of the id, not the id itself: arithmetic id patterns
+    // (every 10th id, say) would otherwise land whole batches in one chunk
+    // and defeat the per-chunk bound
     (0L until numChunks).map { c =>
-      val chunk = q.filter(pmod(col("query_id"), lit(numChunks)) === c)
+      val chunk = q.filter(pmod(xxhash64(col("query_id")), lit(numChunks)) === c)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
       search(spark, indexDir, chunk, k)
     }.reduce(_ unionByName _)

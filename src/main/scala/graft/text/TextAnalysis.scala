@@ -28,12 +28,14 @@ object TextAnalysis {
   }
 
   /** GPT-2-style BPE pre-tokenizer pattern, restricted to lookahead-free
-    * ASCII classes so Java regex and RE2 (DuckDB) agree match-for-match:
-    * contractions, letter runs, digit runs, punctuation runs (each
-    * optionally space-prefixed), whitespace runs.
+    * EXPLICIT ASCII classes so Java regex and RE2 (DuckDB) agree
+    * match-for-match (Java's \s includes \x0B, RE2's does not — so no \s
+    * anywhere): contractions, letter runs, digit runs, punctuation runs
+    * (each optionally space-prefixed), whitespace runs.
     */
+  val BpeWs = " \\t\\n\\f\\r"
   val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$BpeWs]+|[$BpeWs]+"
 
   /** BPE-ish regex piece count: non-whitespace matches of [[BpePattern]] —
     * the vocabulary-free token-budget estimator a training pipeline uses
@@ -42,7 +44,7 @@ object TextAnalysis {
     */
   def bpeishCount(text: Column): Column =
     size(filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
-      p => !(p rlike "^\\s+$")))
+      p => !(p rlike s"^[$BpeWs]+$$")))
 
   /** Quality features per document (ratios in [0,1], safe on empty text). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
