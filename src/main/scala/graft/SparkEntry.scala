@@ -159,13 +159,13 @@ object SparkEntry {
         (ctes + "SELECT doc_id, CAST(len(terms) AS BIGINT) AS n_tokens FROM tok"),
 
       "q_corpus_stats" ->
-        (ctes + "SELECT n, round(avgdl, 6) AS avgdl_r FROM stats"),
+        (ctes + "SELECT n, round(avgdl, 6) + 0.0 AS avgdl_r FROM stats"),
 
       "q_postings" ->
         (ctes + "SELECT doc_id, term, tf FROM tf"),
 
       "q_df_idf" ->
-        (ctes + "SELECT term, df, round(idf, 6) AS idf_r FROM idf"),
+        (ctes + "SELECT term, df, round(idf, 6) + 0.0 AS idf_r FROM idf"),
 
       "q_pages_extract" ->
         """SELECT doc_id,
@@ -179,14 +179,14 @@ object SparkEntry {
 
       "q_bm25_scores" ->
         (ctes +
-          s"""SELECT tf.doc_id, round($scoreExpr, 4) AS score_r
+          s"""SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
              |FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
              |GROUP BY tf.doc_id""".stripMargin),
 
       "q_bm25_topk" ->
         (ctes +
           s""", scored AS (
-             |  SELECT tf.doc_id, round($scoreExpr, 4) AS score_r
+             |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
              |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
              |  GROUP BY tf.doc_id
              |), ranked AS (
@@ -198,7 +198,7 @@ object SparkEntry {
     ) ++ Map(
       "q_bm25_wand_topk" -> (ctes +
         s""", scored AS (
-           |  SELECT tf.doc_id, round($scoreExpr, 4) AS score_r
+           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
            |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
            |  GROUP BY tf.doc_id
            |), ranked AS (

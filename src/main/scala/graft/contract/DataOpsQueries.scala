@@ -147,7 +147,7 @@ object DataOpsQueries {
           |  FROM rare a JOIN rare b USING (shingle)
           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
           |SELECT doc_a, doc_b,
-          |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) + 0.0 AS jaccard
           |FROM inter
           |JOIN sizes sa ON sa.doc_id = doc_a
           |JOIN sizes sb ON sb.doc_id = doc_b
@@ -188,7 +188,7 @@ object DataOpsQueries {
           |  FROM small a JOIN small b2
           |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
           |SELECT doc_a, doc_b,
-          |       round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6) AS est_jaccard_r
+          |       round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 6) + 0.0 AS est_jaccard_r
           |FROM pairs""".stripMargin),
 
     "q_embed_neardup" ->
@@ -200,7 +200,7 @@ object DataOpsQueries {
         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) ** 2)))
         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) ** 2)))) AS cos
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT doc_a, doc_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.15""".stripMargin,
+        |SELECT doc_a, doc_b, round(cos, 6) + 0.0 AS cos FROM pairs WHERE cos >= 0.15""".stripMargin,
 
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -210,7 +210,7 @@ object DataOpsQueries {
         |    round(list_sum(list_transform(range(1, len(qvec) + 1),
         |        i -> CAST(qvec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> CAST(qvec[i] AS DOUBLE) ** 2)))
-        |       * sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> CAST(vec[i] AS DOUBLE) ** 2)))), 4) AS cos_r
+        |       * sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> CAST(vec[i] AS DOUBLE) ** 2)))), 4) + 0.0 AS cos_r
         |  FROM q, c),
         |ranked AS (
         |  SELECT query_id, vec_id, cos_r,
@@ -239,10 +239,10 @@ object DataOpsQueries {
         |         THEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text)
         |         ELSE 0.0 END AS dr
         |  FROM t)
-        |SELECT doc_id, n_tokens, round(mtl, 6) AS mean_tok_len_r, round(sr, 6) AS space_ratio_r,
+        |SELECT doc_id, n_tokens, round(mtl, 6) + 0.0 AS mean_tok_len_r, round(sr, 6) + 0.0 AS space_ratio_r,
         |       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
         |             * greatest(0.0, 1.0 - pr * 5.0)
-        |             * greatest(0.0, 1.0 - dr * 5.0), 6) AS quality_r
+        |             * greatest(0.0, 1.0 - dr * 5.0), 6) + 0.0 AS quality_r
         |FROM f""".stripMargin,
 
     "q_token_bpeish" ->

@@ -233,18 +233,22 @@ object MiscQueries {
         |    list_sum(list_transform(range(1, len(a.embedding) + 1),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / 0.05 AS d
         |  FROM v a, v b WHERE a.vec_id < 3 AND b.vec_id >= 3 AND b.vec_id < 8)
-        |SELECT a_id, b_id, round(d, 4) AS dot_t_r,
-        |       round(1.0 / (1.0 + exp(-d)), 4) AS sig_r
+        |SELECT a_id, b_id, round(d, 4) + 0.0 AS dot_t_r,
+        |       round(1.0 / (1.0 + exp(-d)), 4) + 0.0 AS sig_r
         |FROM pairs""".stripMargin,
 
     // summation order pinned on both sides: sort values ascending, left-fold
     // (Spark: aggregate(array_sort(collect_list(x)), 0.0, +); here:
-    // list_reduce over list_sort) so the mean is partitioning-independent
+    // list_reduce over list_sort) so the mean is partitioning-independent.
+    // `+ 0.0` after round(): DuckDB round() preserves -0.0 while Spark's
+    // BigDecimal round normalizes it to +0.0, and the driver hashes the
+    // representation — adding +0.0 maps -0.0 to +0.0 (IEEE RN) on the oracle
+    // side without changing any other value (`* 1.0` would NOT work).
     "q_segment_mean" ->
       """SELECT CAST(vec_id % 10 AS BIGINT) AS segment_id,
         |       CAST(i - 1 AS INT) AS pos,
         |       round(list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))),
-        |                         (a, b) -> a + b) / count(*), 4) AS m_r
+        |                         (a, b) -> a + b) / count(*), 4) + 0.0 AS m_r
         |FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2""".stripMargin,
 
@@ -265,7 +269,7 @@ object MiscQueries {
     "q_events_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(value), 4) AS sum_value_r
+        |       round(sum(value), 4) + 0.0 AS sum_value_r
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_maxsim" ->
@@ -280,7 +284,7 @@ object MiscQueries {
         |  round(list_sum(list_transform(qt,
         |          x -> list_max(list_transform(dt,
         |                 y -> list_sum(list_transform(range(1, 9), k -> x[k] * y[k]))))))
-        |        / 8.0, 4) AS maxsim_r
+        |        / 8.0, 4) + 0.0 AS maxsim_r
         |FROM q, d""".stripMargin,
 
     "q_pooling" ->
@@ -290,17 +294,17 @@ object MiscQueries {
         |      i -> list_transform(range(1, 9), j -> CAST(embedding[i * 8 + j] AS DOUBLE))) AS toks
         |  FROM embeddings)
         |SELECT vec_id,
-        |  round(list_sum(list_transform(toks, x -> x[1])) / 8.0, 4) AS mean0_r,
-        |  round(toks[1][1], 4) AS cls0_r,
-        |  round(toks[8][1], 4) AS last0_r,
-        |  round(list_sum(list_transform(toks, x -> x[1])), 4) AS sum0_r,
+        |  round(list_sum(list_transform(toks, x -> x[1])) / 8.0, 4) + 0.0 AS mean0_r,
+        |  round(toks[1][1], 4) + 0.0 AS cls0_r,
+        |  round(toks[8][1], 4) + 0.0 AS last0_r,
+        |  round(list_sum(list_transform(toks, x -> x[1])), 4) + 0.0 AS sum0_r,
         |  round(pow(list_sum(list_transform(toks,
-        |          x -> pow(greatest(x[1], 1e-6), 3.0))) / 8.0, 1.0/3.0), 4) AS gem0_r,
+        |          x -> pow(greatest(x[1], 1e-6), 3.0))) / 8.0, 1.0/3.0), 4) + 0.0 AS gem0_r,
         |  round(list_sum(list_transform(range(1, 9),
-        |          i -> toks[i][1] * i)) / 36.0, 4) AS wl0_r,
+        |          i -> toks[i][1] * i)) / 36.0, 4) + 0.0 AS wl0_r,
         |  round(0.5 * (list_sum(list_transform(toks, x -> x[1]))
         |               * list_sum(list_transform(toks, x -> x[1]))
-        |        - list_sum(list_transform(toks, x -> x[1] * x[1]))), 4) AS fm0_r
+        |        - list_sum(list_transform(toks, x -> x[1] * x[1]))), 4) + 0.0 AS fm0_r
         |FROM t""".stripMargin,
 
     "q_json_source" ->
@@ -308,14 +312,14 @@ object MiscQueries {
 
     "q_rel_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 4) AS sum_qty,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r,
+        |       round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue_r,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q_rel_join" ->
       """SELECT o_orderpriority,
-        |       round(sum(l_extendedprice), 2) AS sum_price_r,
+        |       round(sum(l_extendedprice), 2) + 0.0 AS sum_price_r,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
@@ -332,7 +336,7 @@ object MiscQueries {
         |         FROM base) t WHERE rank <= 10),
         |fused AS (SELECT query_id, doc_id, sum(weight / (60 + rank)) AS rrf_score
         |          FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_r,
+        |ranked AS (SELECT query_id, doc_id, round(rrf_score, 6) + 0.0 AS rrf_r,
         |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
         |           FROM fused)
         |SELECT query_id, doc_id, rrf_r, rank FROM ranked WHERE rank <= 10""".stripMargin,

@@ -142,11 +142,11 @@ object PipelineQueries {
            |                 ELSE 0.0 END AS nd
            |          FROM dcgs)
            |SELECT
-           |  round((SELECT coalesce(sum(r), 0) FROM rec) / (SELECT n FROM nr), 6) AS recall_r,
-           |  round((SELECT coalesce(sum(h), 0) FROM hr) / (SELECT n FROM nq), 6) AS hit_rate_r,
-           |  round((SELECT coalesce(sum(rr), 0) FROM mrrq) / (SELECT n FROM nr), 6) AS mrr_r,
-           |  round((SELECT coalesce(sum(ap), 0) FROM mapq) / (SELECT n FROM nr), 6) AS map_r,
-           |  round((SELECT coalesce(sum(nd), 0) FROM ndcgq) / (SELECT n FROM nr), 6) AS ndcg_r""".stripMargin),
+           |  round((SELECT coalesce(sum(r), 0) FROM rec) / (SELECT n FROM nr), 6) + 0.0 AS recall_r,
+           |  round((SELECT coalesce(sum(h), 0) FROM hr) / (SELECT n FROM nq), 6) + 0.0 AS hit_rate_r,
+           |  round((SELECT coalesce(sum(rr), 0) FROM mrrq) / (SELECT n FROM nr), 6) + 0.0 AS mrr_r,
+           |  round((SELECT coalesce(sum(ap), 0) FROM mapq) / (SELECT n FROM nr), 6) + 0.0 AS map_r,
+           |  round((SELECT coalesce(sum(nd), 0) FROM ndcgq) / (SELECT n FROM nr), 6) + 0.0 AS ndcg_r""".stripMargin),
 
     "q_rrf" ->
       """WITH base AS (SELECT doc_id, n_chars, CAST(doc_id % 3 AS BIGINT) AS query_id FROM documents),
@@ -160,7 +160,7 @@ object PipelineQueries {
         |         FROM base) t WHERE rank <= 10),
         |fused AS (SELECT query_id, doc_id, sum(weight / (60 + rank)) AS rrf_score
         |          FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_r,
+        |ranked AS (SELECT query_id, doc_id, round(rrf_score, 6) + 0.0 AS rrf_r,
         |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
         |           FROM fused)
         |SELECT query_id, doc_id, rrf_r, rank FROM ranked WHERE rank <= 5""".stripMargin,
