@@ -87,13 +87,41 @@ object Bench {
     val headline = Seq("q_bm25_topk", "q_bm25_wand_topk", "q_postings",
       "q_metrics", "q_rrf", "q_dedup_exact", "q_jaccard_pairs", "q_minhash_pairs",
       "q_simhash", "q_ann_cosine_topk", "q_text_quality", "q_lang_id")
-    val results = headline.flatMap { name =>
+    val battery = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    } ++ Seq("pages_index_build" -> buildSec, "wand_query_batch" -> querySec,
+    }
+
+    // hash-family split: the contract q_minhash_pairs/q_simhash above run in
+    // md5 ORACLE mode (DuckDB-verifiable); these lines time the xxhash64
+    // PRODUCTION family on the same inputs — the 100 TB default path
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val docs = DocsCorpus.documents(spark, sfDir)
+    val xxLines = Seq(
+      "q_minhash_pairs_xx" -> timed(dedup.Dedup.minhashLshPairs(docs,
+        shingleN = 2, numHashes = 16, bands = 8,
+        family = dedup.Dedup.XxFamily).count()),
+      "q_simhash_xx" -> timed(dedup.Dedup.simhash(docs,
+        family = dedup.Dedup.XxFamily).count()))
+
+    // q_bm25_wand_topk's contract number is build+query (it stages a fresh
+    // packed index per invocation); split the two so the query path is
+    // visible: build the identical index once, then time query-only
+    val wandDir = java.nio.file.Files.createTempDirectory("graft-bench-wand").toString
+    val wandBuildSec = timed(index.PackedIndex.build(
+      DocsCorpus.tokenized(spark, sfDir), wandDir, shardBits = 7, groups = 2))
+    val wandQuerySec = timed(query.Wand.search(spark, wandDir,
+      Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200).count())
+
+    val results = battery ++ xxLines ++ Seq(
+      "q_bm25_wand_build_only" -> wandBuildSec,
+      "q_bm25_wand_query_only" -> wandQuerySec,
+      "pages_index_build" -> buildSec, "wand_query_batch" -> querySec,
       "wand_query_ds_10k" -> dsSec)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

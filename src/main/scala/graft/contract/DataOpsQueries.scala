@@ -25,18 +25,20 @@ object DataOpsQueries {
       Dedup.jaccardPairs(DocsCorpus.documents(s, dir), n = 3, threshold = 0.05)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))),
 
-    // MinHash-LSH near-dup candidates (md5 hash family — the DuckDB oracle
-    // recomputes signatures, banding, bucket caps and the estimate exactly)
+    // MinHash-LSH near-dup candidates (EXPLICIT Md5Family = oracle mode —
+    // the DuckDB oracle recomputes signatures, banding, bucket caps and the
+    // estimate exactly; production default is the xxhash64 family)
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(DocsCorpus.documents(s, dir),
-        shingleN = 2, numHashes = 16, bands = 8)
+        shingleN = 2, numHashes = 16, bands = 8, family = Dedup.Md5Family)
         .select(col("doc_a"), col("doc_b"),
           round(col("est_jaccard"), 6).as("est_jaccard_r"))),
 
-    // SimHash fingerprints (md5-per-bit hash family — DuckDB recomputes
-    // the 60-bit fingerprints exactly)
+    // SimHash fingerprints (EXPLICIT Md5Family = oracle mode — DuckDB
+    // recomputes the 60-bit fingerprints exactly; production default is one
+    // xxhash64 digest per token occurrence)
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhash(DocsCorpus.documents(s, dir))
+      Dedup.simhash(DocsCorpus.documents(s, dir), family = Dedup.Md5Family)
         .select(col("doc_id"), col("simhash"))),
 
     // embedding cosine near-dup pairs, brute-force exact

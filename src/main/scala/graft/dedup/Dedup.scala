@@ -14,11 +14,32 @@ import org.apache.spark.sql.expressions.Window
   *    pairs come from an equi-join on a bucketing key (shingle, LSH band,
   *    or simhash chunk), with hot buckets dropped by a frequency cap
   *    (a stopword-shingle bucket would otherwise explode the join);
-  *  - hashes: MinHash uses the md5 family (cross-engine verifiable — the
-  *    DuckDB oracle recomputes identical signatures); SimHash and sign-LSH
-  *    use xxhash64 (Spark-native, codegen'd, seedable).
+  *  - hashes: MinHash/SimHash take a [[HashFamily]]. The default is
+  *    [[XxFamily]] (seeded xxhash64 — Spark-native, codegen'd, one 64-bit
+  *    digest where the md5 family needs a full MD5 block + hex string; this
+  *    is the 100 TB path). [[Md5Family]] is the oracle mode: md5 is the one
+  *    hash identical in Spark and DuckDB, so the contract queries request it
+  *    to stay bit-verifiable cross-engine. Both families share every plan
+  *    shape (banding, bucket caps, chunk pigeonholes) — only the hash kernel
+  *    differs. Sign-LSH for embeddings is xxhash64-only (no oracle needs it).
   */
 object Dedup {
+
+  /** Hash family for MinHash signatures / SimHash fingerprints. */
+  sealed trait HashFamily
+  /** md5-derived values (32-char hex / top-bit signs) — cross-engine
+    * verifiable: the DuckDB oracles recompute identical signatures. ~10-20x
+    * the kernel cost of [[XxFamily]]; use only where a DuckDB-exact result
+    * is required.
+    */
+  case object Md5Family extends HashFamily
+  /** Seeded xxhash64 — codegen'd, allocation-free, the production default.
+    * MinHash: sig[i] = min over shingles of xxhash64(i, shingle) (one 64-bit
+    * word per hash vs 16 bytes + hex). SimHash: ONE xxhash64 per token
+    * occurrence, fingerprint bits read from the digest's low 60 bits (vs 60
+    * independent md5 digests per occurrence in oracle mode).
+    */
+  case object XxFamily extends HashFamily
 
   // ---- exact -----------------------------------------------------------
 
@@ -88,16 +109,27 @@ object Dedup {
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** MinHash signatures over the distinct shingle set: signature[i] =
-    * min over shingles of md5("i|" + shingle), kept as the 32-char hex
-    * string (lexicographic min == numeric min on fixed-width hex). The md5
-    * family makes the signatures engine-portable — the DuckDB oracle
-    * recomputes them exactly; a 64-bit hash family would halve signature
-    * bytes at extreme scale with the same banding shape.
-    * Returned as (doc_id, sig ARRAY<STRING>).
+    * min over shingles of hash_i(shingle).
+    *
+    * [[Md5Family]]: hash_i = md5("i|" + shingle) kept as the 32-char hex
+    * string (lexicographic min == numeric min on fixed-width hex); the
+    * DuckDB oracle recomputes these exactly. Returns (doc_id, ARRAY<STRING>).
+    *
+    * [[XxFamily]] (default): hash_i = xxhash64(i, shingle) — seeded by the
+    * extra literal column, stays in whole-stage codegen, no string
+    * materialization; signature bytes shrink 4x (8 vs 32 per position).
+    * Signed-long min is a valid min-wise sample (the family is uniform over
+    * the full 64-bit space, sign included). Returns (doc_id, ARRAY<BIGINT>).
     */
-  def minhashSignatures(shinglesDf: DataFrame, numHashes: Int): DataFrame = {
-    val hashes = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+  def minhashSignatures(shinglesDf: DataFrame, numHashes: Int,
+                        family: HashFamily = XxFamily): DataFrame = {
+    val hashes = (0 until numHashes).map { i =>
+      val h = family match {
+        case Md5Family => md5(concat(lit(s"$i|"), col("shingle")))
+        case XxFamily  => xxhash64(lit(i), col("shingle"))
+      }
+      min(h).as(s"h$i")
+    }
     shinglesDf.groupBy(col("doc_id"))
       .agg(hashes.head, hashes.tail: _*)
       .select(col("doc_id"),
@@ -111,14 +143,24 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, shingleN: Int, numHashes: Int,
                       bands: Int, maxBucketSize: Int = 200,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      family: HashFamily = XxFamily): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(shingles(docs, shingleN, idCol, textCol), numHashes)
+    val sig = minhashSignatures(shingles(docs, shingleN, idCol, textCol),
+      numHashes, family)
+    // band bucket key: md5 over the joined hex strings in oracle mode (the
+    // DuckDB oracle replicates it); xxhash64 over the band's sig slice
+    // directly (hashes the array natively, no string build) in production
+    val bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      family match {
+        case Md5Family => b => md5(concat(b.cast("string"), lit("|"),
+          concat_ws(",", slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))).cast("string")
+        case XxFamily => b => xxhash64(b,
+          slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).cast("string")
+      }
     val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat(b.cast("string"), lit("|"),
-          concat_ws(",", slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val small = banded.join(
       banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bsz"))
@@ -147,24 +189,42 @@ object Dedup {
   val SimhashBits = 60
 
   /** 60-bit SimHash: bit b of the fingerprint is 1 iff the sum over token
-    * OCCURRENCES of sign(hash_b(token)) is positive, where hash_b's sign is
-    * the top bit of md5("b|" + token) (first hex char >= '8'). One
-    * independent md5 per bit keeps the whole estimator cross-engine
-    * verifiable — the DuckDB oracle recomputes fingerprints exactly; a
-    * production variant can swap in a 64-bit native hash family behind the
-    * same shape. Near-dups = fingerprints within `maxHamming` bits;
-    * candidates pair on 15-bit fingerprint chunks (any chunk equal =>
-    * candidate; catches all pairs with hamming <= 3 by pigeonhole over 4
-    * chunks).
+    * OCCURRENCES of sign_b(token) is positive.
+    *
+    * [[Md5Family]]: sign_b is the top bit of md5("b|" + token) (first hex
+    * char >= '8') — 60 independent md5 digests per occurrence, but the
+    * DuckDB oracle recomputes fingerprints exactly.
+    *
+    * [[XxFamily]] (default): ONE xxhash64 digest per token occurrence,
+    * sign_b read from bit b of that digest (the low 60 of 64 bits). Bits of
+    * a single high-quality 64-bit hash are the standard SimHash construction
+    * (Charikar '02 uses one hash per feature); this is a 60x hash-kernel
+    * reduction vs oracle mode.
+    *
+    * Near-dups = fingerprints within `maxHamming` bits; candidates pair on
+    * 15-bit fingerprint chunks (any chunk equal => candidate; catches all
+    * pairs with hamming <= 3 by pigeonhole over 4 chunks).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              family: HashFamily = XxFamily): DataFrame = {
     val toks = graft.tokenize.PyTokenize.asciiSplit(lower(col(textCol)))
     val exploded = docs.select(col(idCol).as("doc_id"), explode(toks).as("tok"))
-    val bitSums = (0 until SimhashBits).map(b =>
-      sum(when(substring(md5(concat(lit(s"$b|"), col("tok"))), 1, 1) >= "8", 1)
-        .otherwise(-1)).as(s"b$b"))
-    exploded.groupBy(col("doc_id"))
+    val signed = family match {
+      case Md5Family => exploded
+      case XxFamily  => exploded.withColumn("h", xxhash64(col("tok")))
+    }
+    val bitSums = (0 until SimhashBits).map { b =>
+      val isOne = family match {
+        case Md5Family =>
+          substring(md5(concat(lit(s"$b|"), col("tok"))), 1, 1) >= "8"
+        case XxFamily =>
+          // h is computed ONCE per row above; each bit test is a shift+mask
+          shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L
+      }
+      sum(when(isOne, 1).otherwise(-1)).as(s"b$b")
+    }
+    signed.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until SimhashBits).map(b =>
@@ -178,8 +238,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucketSize: Int = 200,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   family: HashFamily = XxFamily): DataFrame = {
+    val sh = simhash(docs, idCol, textCol, family)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))

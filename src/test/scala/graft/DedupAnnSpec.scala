@@ -33,33 +33,41 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(0)._1 == 0L && got(0)._2 == 1L && math.abs(got(0)._3 - 0.5) < 1e-9)
   }
 
-  test("minhash-LSH finds high-jaccard pairs and skips disjoint docs") {
+  private val families = Seq(Dedup.Md5Family, Dedup.XxFamily)
+
+  test("minhash-LSH finds high-jaccard pairs and skips disjoint docs (both families)") {
     val base = (0 until 30).map(i => s"w$i").mkString(" ")
     val nearDup = (0 until 30).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
     val disjoint = (100 until 130).map(i => s"w$i").mkString(" ")
     val docs = Seq((0L, base), (1L, nearDup), (2L, disjoint)).toDF("doc_id", "text")
-    val got = Dedup.minhashLshPairs(docs, shingleN = 2, numHashes = 16, bands = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.5),
-      s"near-dup pair not found: ${got.mkString(",")}")
-    assert(!got.exists(p => p._2 == 2L || p._1 == 2L))
+    families.foreach { fam =>
+      val got = Dedup.minhashLshPairs(docs, shingleN = 2, numHashes = 16,
+        bands = 8, family = fam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.5),
+        s"$fam: near-dup pair not found: ${got.mkString(",")}")
+      assert(!got.exists(p => p._2 == 2L || p._1 == 2L), s"$fam")
+    }
   }
 
-  test("simhash: identical docs equal, near docs close, disjoint docs far") {
+  test("simhash: identical docs equal, near docs close, disjoint docs far (both families)") {
     val base = (0 until 40).map(i => s"tok$i").mkString(" ")
     val near = (0 until 40).map(i => if (i == 3) "x" else s"tok$i").mkString(" ")
     val far = (200 until 240).map(i => s"tok$i").mkString(" ")
     val docs = Seq((0L, base), (1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
-    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    assert(ham(sh(0L), sh(1L)) == 0)
-    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.contains((0L, 1L)))
+    families.foreach { fam =>
+      val sh = Dedup.simhash(docs, family = fam).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      assert(ham(sh(0L), sh(1L)) == 0, s"$fam")
+      assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)), s"$fam")
+      val pairs = Dedup.simhashPairs(docs, maxHamming = 3, family = fam)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((0L, 1L)), s"$fam")
+    }
   }
 
-  test("minhash estimate tracks exact jaccard (estimator golden)") {
+  test("minhash estimate tracks exact jaccard (estimator golden, both families)") {
     // doc k shares 40-2k of its 40 tokens with doc 0 -> graded true jaccard
     val docs = (0 until 8).map { k =>
       val toks = (0 until 40).map(i => if (i < 2 * k) s"sub${k}_$i" else s"w$i")
@@ -69,33 +77,39 @@ class DedupAnnSpec extends SparkSpec {
     // exact jaccard of doc 0 vs k from shingle sets
     val sets = sh.collect().groupBy(_.getLong(0))
       .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
-    // 64 hashes -> estimator std ~ sqrt(j(1-j)/64) <= 0.0625
-    val sigs = Dedup.minhashSignatures(sh, numHashes = 64).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    (1 until 8).foreach { k =>
-      val a = sets(0L); val b = sets(k.toLong)
-      val exact = (a & b).size.toDouble / (a | b).size
-      val est = sigs(0L).zip(sigs(k.toLong)).count { case (x, y) => x == y } / 64.0
-      assert(math.abs(est - exact) <= 0.25,
-        s"doc 0 vs $k: est $est vs exact $exact")
+    families.foreach { fam =>
+      // 64 hashes -> estimator std ~ sqrt(j(1-j)/64) <= 0.0625
+      val sigs = Dedup.minhashSignatures(sh, numHashes = 64, family = fam)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      (1 until 8).foreach { k =>
+        val a = sets(0L); val b = sets(k.toLong)
+        val exact = (a & b).size.toDouble / (a | b).size
+        val est = sigs(0L).zip(sigs(k.toLong)).count { case (x, y) => x == y } / 64.0
+        assert(math.abs(est - exact) <= 0.25,
+          s"$fam doc 0 vs $k: est $est vs exact $exact")
+      }
     }
   }
 
-  test("simhash hamming scales with dissimilarity (estimator golden)") {
+  test("simhash hamming scales with dissimilarity (estimator golden, both families)") {
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
     def mutate(k: Int) =
       (0 until 60).map(i => if (i < k) s"chg$i" else s"tok$i").mkString(" ")
     val docs = Seq((0L, base), (1L, mutate(1)), (2L, mutate(10)),
       (3L, mutate(30)), (4L, (500 until 560).map(i => s"tok$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
-    assert(ham(0L, 1L) <= ham(0L, 2L))
-    assert(ham(0L, 2L) < ham(0L, 3L))
-    assert(ham(0L, 3L) <= ham(0L, 4L) + 8) // heavy mutation approaches independent
-    // independent 64-bit fingerprints: hamming ~ Binomial(64, 0.5)
-    assert(ham(0L, 4L) >= 16 && ham(0L, 4L) <= 48, s"disjoint hamming ${ham(0L, 4L)}")
-    assert(ham(0L, 1L) <= 12, s"near-dup hamming ${ham(0L, 1L)}")
+    families.foreach { fam =>
+      val sh = Dedup.simhash(docs, family = fam).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(ham(0L, 1L) <= ham(0L, 2L), s"$fam")
+      assert(ham(0L, 2L) < ham(0L, 3L), s"$fam")
+      assert(ham(0L, 3L) <= ham(0L, 4L) + 8, s"$fam") // heavy mutation approaches independent
+      // independent 60-bit fingerprints (SimhashBits=60): hamming ~
+      // Binomial(60, 0.5), mean 30, std ~3.9 -> [16,48] is a >4-sigma band
+      assert(ham(0L, 4L) >= 16 && ham(0L, 4L) <= 48, s"$fam disjoint hamming ${ham(0L, 4L)}")
+      assert(ham(0L, 1L) <= 12, s"$fam near-dup hamming ${ham(0L, 1L)}")
+    }
   }
 
   test("brute-force cosine top-k is exact and deterministically tie-broken") {
