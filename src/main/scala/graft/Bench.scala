@@ -83,6 +83,19 @@ object Bench {
     val dsSec = (System.nanoTime() - t2) / 1e9
     val dsQps = nDsQueries / dsSec
 
+    // 100k-query batch through the staged-chunk path (scale evidence for
+    // searchDs: one query-table pass, per-chunk sink writes, driver memory
+    // flat in batch size)
+    val nDs2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_DS2_QUERIES", "100000").toInt
+    val ds2Df = {
+      import spark.implicits._
+      queryBatch(nDs2).toDF("query_id", "text")
+    }
+    val t3 = System.nanoTime()
+    query.Wand.searchDs(spark, idxDir, ds2Df, k = 10, chunkSize = 10000).count()
+    val ds2Sec = (System.nanoTime() - t3) / 1e9
+    val ds2Qps = nDs2 / ds2Sec
+
     // operator battery on the sf dir (headline subset)
     val headline = Seq("q_bm25_topk", "q_bm25_wand_topk", "q_postings",
       "q_metrics", "q_rrf", "q_dedup_exact", "q_jaccard_pairs", "q_minhash_pairs",
@@ -122,13 +135,13 @@ object Bench {
       "q_bm25_wand_build_only" -> wandBuildSec,
       "q_bm25_wand_query_only" -> wandQuerySec,
       "pages_index_build" -> buildSec, "wand_query_batch" -> querySec,
-      "wand_query_ds_10k" -> dsSec)
+      "wand_query_ds_10k" -> dsSec, "wand_query_ds_100k" -> ds2Sec)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"ds_batch_qps":${f"$dsQps%.1f"},"n_pages":$nPages,"n_queries":$nQueries,"n_ds_queries":$nDsQueries}""")
+      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"ds_batch_qps":${f"$dsQps%.1f"},"ds_100k_qps":${f"$ds2Qps%.1f"},"n_pages":$nPages,"n_queries":$nQueries,"n_ds_queries":$nDsQueries,"n_ds2_queries":$nDs2}""")
     spark.stop()
   }
 }

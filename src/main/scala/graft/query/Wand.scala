@@ -132,30 +132,60 @@ object Wand {
 
   /** Dataset-typed query batch: the large-batch path. The query set stays a
     * DataFrame (query_id, text) and is processed in deterministic chunks of
-    * `chunkSize` (chunk = hash(query_id) mod numChunks), each chunk riding the
+    * `chunkSize` (chunk = hash(query_id) mod numChunks — arithmetic id
+    * patterns would land whole batches in one chunk), each chunk riding the
     * broadcast kernel path while the index-side scan plan is identical per
-    * chunk. What the chunking bounds is the per-JOB broadcast and per-task
-    * working set (each WAND task iterates one chunk's queries, not the
-    * whole batch); on a real cluster each chunk is an independent job that
-    * a driver can run (and retry) separately, streaming results to a sink
-    * between chunks instead of union-ing. The corpus is never re-shuffled.
+    * chunk.
+    *
+    * Scale shape (flat in batch size):
+    *  1. ONE pass over the query table assigns chunk ids and writes the
+    *     batch chunk-partitioned to staging — the query table is never
+    *     rescanned per chunk (the earlier version ran numChunks full scans).
+    *  2. Each chunk job reads ONLY its own partition directory, collects the
+    *     bounded chunk (<= chunkSize rows — this is the broadcast-kernel
+    *     input, the only driver materialization), and writes its hits to its
+    *     own sink partition. A failed chunk job is retried idempotently
+    *     (overwrite of its dir); completed chunks are never recomputed.
+    *  3. The result is ONE scan of the sink — no N-leg union lineage, no
+    *     driver-side result accumulation.
     *
     * Parity: identical to [[search]] on the same batch (RetrieverSpec).
     */
   def searchDs(spark: SparkSession, indexDir: String, queries: DataFrame,
-               k: Int, chunkSize: Int = 10000): DataFrame = {
+               k: Int, chunkSize: Int = 10000,
+               io: graft.io.TableIO = graft.io.ParquetDirIO,
+               stagingDir: Option[String] = None): DataFrame = {
     val q = queries.select(col("query_id").cast("long"), col("text").cast("string"))
     val n = q.count()
     if (n == 0) return search(spark, indexDir, Nil, k)
     val numChunks = math.max(1L, (n + chunkSize - 1) / chunkSize)
-    // chunk on a HASH of the id, not the id itself: arithmetic id patterns
-    // (every 10th id, say) would otherwise land whole batches in one chunk
-    // and defeat the per-chunk bound
-    (0L until numChunks).map { c =>
-      val chunk = q.filter(pmod(xxhash64(col("query_id")), lit(numChunks)) === c)
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
-      search(spark, indexDir, chunk, k)
-    }.reduce(_ unionByName _)
+    if (numChunks == 1) {
+      // bounded batch: one chunk == the Seq path; staging would only add a
+      // write+read round-trip
+      val chunk = q.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      return search(spark, indexDir, chunk, k)
+    }
+    val staging = stagingDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-searchds").toString)
+    io.write(
+      q.withColumn("chunk", pmod(xxhash64(col("query_id")), lit(numChunks))),
+      s"$staging/queries", partitionBy = Seq("chunk"))
+    var wroteAny = false
+    (0L until numChunks).foreach { c =>
+      val chunkPath = java.nio.file.Paths.get(s"$staging/queries/chunk=$c")
+      if (java.nio.file.Files.exists(chunkPath)) {
+        val chunk = io.read(spark, chunkPath.toString)
+          .select(col("query_id"), col("text"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+        if (chunk.nonEmpty) {
+          io.write(search(spark, indexDir, chunk, k), s"$staging/hits/chunk=$c")
+          wroteAny = true
+        }
+      }
+    }
+    if (!wroteAny) search(spark, indexDir, Nil, k)
+    else io.read(spark, s"$staging/hits")
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
   // ---- per-shard kernel ------------------------------------------------
