@@ -98,11 +98,15 @@ object SparkEntry {
     // J7/T4: packed block-max WAND path, end-to-end (build packed index,
     // query via the doc-sharded WAND kernel, merge per-shard top-k). Same
     // oracle as q_bm25_topk — proves the physical path is rank-identical.
+    // Routed through the strategy-planned operator (Bm25TopKPlan ->
+    // Bm25Strategy -> Bm25TopKExec) so the custom LogicalPlan/SparkStrategy
+    // surface is driver-exercised, not just unit-tested; Bm25PlanSpec proves
+    // it bit-identical to Wand.search.
     "q_bm25_wand_topk" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-wand-q").toString
       val tok = DocsCorpus.tokenized(s, dir)
       graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
-      val hits = graft.query.Wand.search(s, idxDir,
+      val hits = graft.plans.Bm25TopKPlan.search(s, idxDir,
         Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
       // re-rank on the ROUNDED score so tie order matches the SQL oracle;
       // orderBy+limit (TakeOrderedAndProject) bounds the rows before the

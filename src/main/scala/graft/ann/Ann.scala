@@ -140,34 +140,74 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** Assign corpus vectors to nearest centroid (cell). Centroids are a
-    * SMALL table (collected to the driver, shipped as array literals): the
-    * assignment is a pure map-side fold over the centroid array — no join,
-    * no shuffle, no window — so at 100 TB it is one narrow pass over the
-    * corpus. Tie-break: lower cell_id wins (centroids scanned in id order,
-    * strictly-greater similarity replaces).
+  /** Above this many centroids the assignment switches from column-literal
+    * folding to a broadcast-variable kernel: typedLit embeds nCells*dim
+    * doubles into the expression tree, whose codegen/serialized size grows
+    * linearly and hits Catalyst limits in the thousands of cells.
     */
-  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] val AssignLiteralMaxCells = 256
+
+  /** Assign corpus vectors to nearest centroid (cell). Both paths are one
+    * narrow map-side pass over the corpus — no join, no shuffle, no window —
+    * so at 100 TB the corpus is read exactly once. Tie-break: lower cell_id
+    * wins (centroids scanned in id order, strictly-greater similarity
+    * replaces).
+    *
+    *  - <= [[AssignLiteralMaxCells]] cells: the centroid table is shipped as
+    *    array LITERALS and folded per row (whole-stage codegen, zero task
+    *    setup);
+    *  - above it: the centroids go out as a BROADCAST VARIABLE consumed by a
+    *    mapPartitions kernel (task-side argmax over primitive arrays) — the
+    *    expression tree stays O(1) regardless of nCells*dim.
+    * [[cosineArr]] reproduces the column expression's fold order, so the two
+    * paths are bit-identical (pinned by DedupAnnSpec).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  literalMaxCells: Int = AssignLiteralMaxCells): DataFrame = {
     val cents = centroids
       .select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "assignCells: empty centroid table")
-    val cids = typedLit(cents.map(_._1).toSeq)
-    val cvecs = typedLit(cents.map(_._2.toSeq).toSeq)
     val c = corpus.select(col("vec_id").cast("long"),
       col("vec").cast("array<double>").as("vec"))
-    val best = aggregate(
-      sequence(lit(0), lit(cents.length - 1)),
-      struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("id")),
-      (acc, i) => {
-        val cc = cosine(col("vec"), element_at(cvecs, i + 1))
-        val id = element_at(cids, i + 1)
-        when(cc > acc.getField("c"),
-          struct(cc.as("c"), id.as("id"))).otherwise(acc)
-      })
-    c.withColumn("cell_id", best.getField("id"))
-      .select(col("vec_id"), col("vec"), col("cell_id"))
+    if (cents.length <= literalMaxCells) {
+      val cids = typedLit(cents.map(_._1).toSeq)
+      val cvecs = typedLit(cents.map(_._2.toSeq).toSeq)
+      val best = aggregate(
+        sequence(lit(0), lit(cents.length - 1)),
+        struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("id")),
+        (acc, i) => {
+          val cc = cosine(col("vec"), element_at(cvecs, i + 1))
+          val id = element_at(cids, i + 1)
+          when(cc > acc.getField("c"),
+            struct(cc.as("c"), id.as("id"))).otherwise(acc)
+        })
+      c.withColumn("cell_id", best.getField("id"))
+        .select(col("vec_id"), col("vec"), col("cell_id"))
+    } else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(
+        cents.map { case (id, v) => (id, v.toArray) })
+      c.as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, vecSeq) =>
+            val vec = vecSeq.toArray
+            var best = -2.0
+            var bestId = Long.MaxValue
+            var i = 0
+            while (i < cs.length) {
+              val cc = cosineArr(vec, cs(i)._2)
+              if (cc > best) { best = cc; bestId = cs(i)._1 }
+              i += 1
+            }
+            (id, vecSeq, bestId)
+          }
+        }
+        .toDF("vec_id", "vec", "cell_id")
+    }
   }
 
   /** Deterministic centroid seeding: every (N/nCells)-th vector by id. The

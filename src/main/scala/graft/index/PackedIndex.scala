@@ -281,6 +281,9 @@ object PackedIndex {
     // possibly-stale stats.json.
     if (!Files.exists(Paths.get(dir, "stats.json"))) {
       val n = manifests.map(_.docs).sum
+      // n == 0 would make avgdl 0/0 = NaN — invalid JSON that poisons every
+      // downstream BM25 division silently. An empty corpus is a caller bug.
+      require(n > 0, s"PackedIndex.build: empty corpus (0 docs) at $dir")
       val avgdl = manifests.map(_.sumDl).sum.toDouble / n
       io.write(io.read(spark, s"$dir/postings")
         .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$dir/df")
@@ -347,6 +350,7 @@ object PackedIndex {
         (f.getName == "df" || f.getName.startsWith("df-g")))
       .foreach(deleteRecursively)
     val n = oldN + nNew
+    require(n > 0, s"append: index at $dir would still hold 0 docs")
     val avgdl = (oldSumDl + newSumDl).toDouble / n
     val nextGroup = 1 + manifests.map(_.group).foldLeft(-1)(math.max)
 
@@ -392,11 +396,24 @@ object PackedIndex {
         readManifest(f.toPath)
     }.toSeq.sortBy(_.group)
 
+  /** Read the packed postings of COMMITTED groups only. Groups are
+    * enumerated from the manifests (the commit markers), not by listing
+    * postings/: a crash between a group's parquet write and its manifest
+    * commit leaves an orphan grp=N dir, and serving it would expose
+    * uncommitted docs with stale df/stats until the append retry. Each leg
+    * is its own pushdown-filtered scan; group count is small (one per
+    * build/append commit unit), so the union is shallow.
+    */
   def loadPostings(spark: SparkSession, dir: String,
                    io: TableIO = ParquetDirIO): Dataset[PackedPostings] = {
     import spark.implicits._
-    io.read(spark, s"$dir/postings")
-      .select("shard", "term", "nPostings", "blocks").as[PackedPostings]
+    val cols = Seq("shard", "term", "nPostings", "blocks")
+    val committed = listManifests(dir).map(_.group)
+    require(committed.nonEmpty, s"loadPostings: no committed groups at $dir")
+    committed.iterator
+      .map(g => io.read(spark, s"$dir/postings/grp=$g").selectExpr(cols: _*))
+      .reduce(_ unionByName _)
+      .as[PackedPostings]
   }
 
   /** The LIVE df table — the dir named by stats.json (appends write fresh
@@ -433,9 +450,17 @@ object PackedIndex {
 
   private def readManifest(path: java.nio.file.Path): GroupManifest = {
     val m = readJsonFlat(Files.readString(path))
+    // docs/sumDl are the authoritative corpus totals (n, avgdl, docId
+    // offsets all derive from their sums). A manifest lacking them is a
+    // pre-upgrade format: silently defaulting to 0 would make a resumed
+    // build write zeroed stats and a later append offset new docIds from 0,
+    // colliding with existing docs — fail loudly instead (everywhere, not
+    // just in append's consistency check).
+    require(m.contains("docs") && m.contains("sumDl"),
+      s"manifest $path lacks docs/sumDl (pre-upgrade format) — rebuild the index")
     GroupManifest(m("group").toDouble.toInt, m("terms").toLong,
       m("postings").toLong, m("bytes").toLong, m("wallMs").toDouble,
-      m.getOrElse("docs", "0").toLong, m.getOrElse("sumDl", "0").toLong)
+      m("docs").toLong, m("sumDl").toLong)
   }
 
   /** Parse a flat one-level JSON object of numbers (no strings/nesting). */

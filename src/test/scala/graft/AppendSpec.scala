@@ -107,6 +107,31 @@ class AppendSpec extends SparkSpec {
     assert(hits.length == hits.distinct.length)
   }
 
+  test("orphan (uncommitted) postings groups are invisible to readers") {
+    // crash point: a group's parquet fully written but its manifest never
+    // committed — loadPostings must serve committed groups only (the
+    // manifest is the read-side commit marker), or uncommitted docs would be
+    // scored against stale df/stats until the retry
+    val dir = Files.createTempDirectory("graft-orphan").toString
+    PagesPipeline.buildIndex(PagesGen.pages(spark, 200, partitions = 4).toDF(),
+      dir, shardBits = 6, groups = 2)
+    val before = graft.index.PackedIndex.loadPostings(spark, dir).count()
+
+    // fabricate the orphan: copy a committed group dir to grp=99, no manifest
+    val src = new java.io.File(s"$dir/postings/grp=0")
+    val dst = new java.io.File(s"$dir/postings/grp=99")
+    def copyRec(s: java.io.File, d: java.io.File): Unit =
+      if (s.isDirectory) { d.mkdirs(); s.listFiles.foreach(c => copyRec(c, new java.io.File(d, c.getName))) }
+      else java.nio.file.Files.copy(s.toPath, d.toPath)
+    copyRec(src, dst)
+
+    assert(graft.index.PackedIndex.loadPostings(spark, dir).count() == before,
+      "orphan grp=99 leaked into the postings read")
+    val hits = Wand.search(spark, dir, Seq(1L -> "the w3 w17"), 1000)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(hits.length == hits.distinct.length, "orphan docs served twice")
+  }
+
   test("salted count equals plain groupBy count under heavy skew") {
     val df = (Seq.fill(5000)("hot") ++ (0 until 500).map(i => s"cold$i"))
       .toDF("k")

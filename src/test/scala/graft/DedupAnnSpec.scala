@@ -150,6 +150,45 @@ class DedupAnnSpec extends SparkSpec {
     assert(rLloyd >= 0.6, s"IVF recall (lloyd centroids) too low: $rLloyd")
   }
 
+  test("assignCells: literal and broadcast-kernel paths agree bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))
+    }.toDF("vec_id", "vec")
+    val cents = (0 until 64).map { c =>
+      (c.toLong, Seq.fill(16)(rnd.nextGaussian()))
+    }.toDF("cell_id", "cvec")
+    def cells(literalMax: Int) =
+      Ann.assignCells(corpus, cents, literalMaxCells = literalMax)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+    val viaLiteral = cells(literalMax = 1024) // 64 <= 1024 -> literal fold
+    val viaKernel = cells(literalMax = 1)     // 64 > 1 -> broadcast kernel
+    assert(viaLiteral == viaKernel)
+    assert(viaLiteral.values.toSet.size > 1) // sanity: not all one cell
+  }
+
+  test("assignCells at 4096 cells x 64 dims stays on the kernel path and completes") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian()))
+    }.toDF("vec_id", "vec")
+    val cents = (0 until 4096).map { c =>
+      (c.toLong, Seq.fill(64)(rnd.nextGaussian()))
+    }.toDF("cell_id", "cvec")
+    // 4096 > AssignLiteralMaxCells -> broadcast kernel; a typedLit plan here
+    // would embed 262k doubles into the expression tree (the Catalyst
+    // codegen hazard this threshold exists for)
+    assert(4096 > Ann.AssignLiteralMaxCells)
+    val assigned = Ann.assignCells(corpus, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("-2.0"), "literal fold leaked into the 4k-cell plan")
+    val rows = assigned.collect()
+    assert(rows.length == 50)
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("cell_id"); c >= 0 && c < 4096
+    })
+  }
+
   test("language id picks dominant stopword language") {
     val docs = Seq(
       (0L, "the cat is in the house and it is warm"),

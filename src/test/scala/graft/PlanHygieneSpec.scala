@@ -68,6 +68,13 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25_wand_topk runs through the strategy-planned Bm25TopKExec") {
+    val df = SparkEntry.queries("q_bm25_wand_topk")(spark, "/root/testdata/sf0.001")
+    df.collect() // execute so AQE finalizes
+    assert(df.queryExecution.executedPlan.toString.contains("Bm25TopK"),
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("stopword filtering preserves duplicate non-stopword tokens") {
     import spark.implicits._
     val df = Seq((1L, "the cat the cat sat on a mat cat")).toDF("doc_id", "text")
