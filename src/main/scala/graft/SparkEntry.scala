@@ -136,15 +136,38 @@ object SparkEntry {
     }),
 
     // flagship north-rule pipeline: pages -> extract -> dense ids -> packed
-    // index (checkpointed) -> block-max WAND top-k (rows-only)
+    // index (checkpointed) -> block-max WAND top-k. Rows-only for the DuckDB
+    // gate (the HTML extraction kernel is not SQL-expressible), so the query
+    // carries its own driver-visible oracle: `matches_oracle` compares every
+    // emitted (rank, raw score) against an in-JVM EXHAUSTIVE BM25 oracle
+    // (graft.core.Bm25.Oracle — independent scorer, shared only with the
+    // formula constants) over the index's own staged corpus. All rows must
+    // read true; PagesSpec pins the same parity in CI at 400 docs.
     "q_pages_wand" -> ((s, _) => {
+      import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-pages-q").toString
       graft.corpus.PagesPipeline.buildIndex(
         graft.corpus.PagesGen.pages(s, 300, 6).toDF(), dir, shardBits = 7, groups = 2)
-      graft.query.Wand.search(s, dir,
-        Seq(1L -> "the w3 w17", 2L -> "w100 w2000"), k = 10)
-        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score_r"),
-          col("rank"))
+      val queries = Seq(1L -> "the w3 w17", 2L -> "w100 w2000")
+      val hits = graft.query.Wand.search(s, dir, queries, k = 10)
+      // exhaustive oracle over the staged corpus (300 docs — contract-scale
+      // bounded collect; the scale path is the WAND result above)
+      val docRows = graft.corpus.PagesPipeline.tokenized(
+        s.read.parquet(s"$dir/docs_raw"))
+        .select(col("doc_id"), col("terms")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toArray)).sortBy(_._1)
+      val oracle = new graft.core.Bm25.Oracle(
+        docRows.map(_._2).toIndexedSeq, P)
+      val expected = queries.flatMap { case (qid, text) =>
+        oracle.topK(graft.tokenize.PyTokenize.split(text).toSeq, 10)
+          .filter(_._2 != 0.0).zipWithIndex
+          .map { case ((doc, score), i) => (qid, doc, score, i + 1) }
+      }.toDF("query_id", "doc_id", "o_score", "o_rank")
+      hits.join(expected, Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).as("score_r"), col("rank"),
+          (col("o_rank") === col("rank") &&
+            col("o_score") === col("score")).as("matches_oracle"))
     })
   )
 

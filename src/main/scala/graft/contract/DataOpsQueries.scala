@@ -63,7 +63,11 @@ object DataOpsQueries {
         .filter(col("rank") <= 10)
     }),
 
-    // IVF-style ANN (approximate; rows-only — demonstrates the scale path)
+    // IVF-style ANN (approximate BY DESIGN, so no exact DuckDB oracle; the
+    // driver check is rows-only). The query carries its own driver-visible
+    // quality oracle instead: `in_exact_topk` marks whether each IVF hit is
+    // in the query's EXACT brute-force top-k — the fraction of true rows is
+    // the recall that DedupAnnSpec gates (>= 0.6 post-Lloyd) in CI.
     "q_ann_ivf_topk" -> ((s, dir) => {
       val emb = DocsCorpus.table(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
@@ -72,9 +76,12 @@ object DataOpsQueries {
       val withCell = Ann.assignCells(corpus, centroids)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Ann.bruteForceTopK(queries, corpus, k = 10)
+        .select(col("query_id"), col("vec_id"), lit(true).as("in_exact_topk"))
       Ann.ivfTopK(queries, withCell, centroids, k = 10, nProbe = 4)
+        .join(exact, Seq("query_id", "vec_id"), "left")
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos_r"),
-          col("rank"))
+          col("rank"), coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
     }),
 
     // text quality features
