@@ -111,7 +111,11 @@ object MiscQueries {
           count(lit(1)).as("n"))
     }),
 
-    // multimodal plumbing: stub decode over binary assets (rows-only)
+    // multimodal decode over binary assets (rows-only: payloads are
+    // engine-side binaries DuckDB never sees). REAL pure-JVM decode for
+    // wav/ppm/y4m (rms/zcr, channel means, frame counts from the actual
+    // bytes — golden-tested in MiscSpec); mp4 exercises the documented stub
+    // fallback (no codec libs in the container).
     "q_multimodal_features" -> ((s, _) => {
       import s.implicits._
       graft.multimodal.Multimodal.extractFeatures(

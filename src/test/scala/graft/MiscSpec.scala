@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.multimodal.{Multimodal, StubDecoder}
+import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
 
@@ -102,10 +102,60 @@ class MiscSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
-  test("multimodal stub decode is deterministic, batched, and narrow") {
+  test("wav decode: exact features from hand-built PCM") {
+    // samples +0.5, -0.5, +0.5, -0.5 -> rms 0.5, zcr 1.0, peak 0.5, meanAbs 0.5
+    val bos = new java.io.ByteArrayOutputStream()
+    def w4(s: String) = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int) = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF) }
+    def le16(v: Int) = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    w4("RIFF"); le32(36 + 8); w4("WAVE")
+    w4("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    w4("data"); le32(8)
+    Seq(16384, -16384, 16384, -16384).foreach(le16)
+    val f = graft.multimodal.HeaderCodecs.decodeBatch(
+      Seq(graft.multimodal.Asset(1L, "audio/wav", bos.toByteArray, "u"))).head
+    assert(f.kind == "audio" && f.n_frames == 4)
+    assert(math.abs(f.features(0) - 0.5f) < 1e-6, s"rms ${f.features(0)}")
+    assert(f.features(1) == 1.0f, s"zcr ${f.features(1)}")   // every step crosses
+    assert(math.abs(f.features(2) - 0.5f) < 1e-6)             // peak
+    assert(math.abs(f.features(3) - 0.5f) < 1e-6)             // meanAbs
+    assert(f.features(4) == 0.08f && f.features(5) == 1.0f)   // 8kHz mono
+  }
+
+  test("ppm decode: exact channel means from hand-built pixels") {
+    val bytes = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0) // red, green
+    val f = graft.multimodal.HeaderCodecs.decodeBatch(
+      Seq(graft.multimodal.Asset(2L, "image/x-portable-pixmap", bytes, "u"))).head
+    assert(f.kind == "image" && f.width == 2 && f.height == 1)
+    assert(math.abs(f.features(0) - 0.5f) < 1e-6)  // meanR
+    assert(math.abs(f.features(1) - 0.5f) < 1e-6)  // meanG
+    assert(f.features(2) == 0.0f)                  // meanB
+    val lumaMean = (0.299 + 0.587) / 2
+    assert(math.abs(f.features(3) - lumaMean) < 1e-6)
+    assert(math.abs(f.features(4) - math.abs(0.587 - 0.299) / 2) < 1e-6)
+  }
+
+  test("y4m decode: frame count and luma trajectory from hand-built frames") {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W2 H2 F25:1 C420\n".getBytes("US-ASCII"))
+    Seq(0, 51, 102).foreach { y =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      (0 until 4).foreach(_ => bos.write(y)) // Y plane
+      (0 until 2).foreach(_ => bos.write(128)) // U+V (1 each at 2x2 C420)
+    }
+    val f = graft.multimodal.HeaderCodecs.decodeBatch(
+      Seq(graft.multimodal.Asset(3L, "video/x-yuv4mpeg", bos.toByteArray, "u"))).head
+    assert(f.kind == "video" && f.width == 2 && f.height == 2 && f.n_frames == 3)
+    assert(f.features(0) == 0.0f)
+    assert(math.abs(f.features(1) - 102f / 255f) < 1e-6)
+  }
+
+  test("multimodal decode is real for generated wav/ppm/y4m, stub for mp4") {
     val assets = Multimodal.genAssets(spark, 100, 4)
     val f1 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
-    val f2 = Multimodal.extractFeatures(assets, StubDecoder, batchSize = 7)
+    val f2 = Multimodal.extractFeatures(assets, batchSize = 7)
       .collect().sortBy(_.asset_id)
     assert(f1.length == 100)
     assert(f1.zip(f2).forall { case (a, b) =>
@@ -113,8 +163,24 @@ class MiscSpec extends SparkSpec {
         a.features.sameElements(b.features)
     }) // batch size must not change results
     assert(f1.forall(_.features.length == 16))
-    val frames = Multimodal.sampleFrames(assets, stride = 10).collect()
+    // every real-format asset decodes through the real path: a sine wave has
+    // rms in (0.1, 0.8); images carry their true (small) dimensions; y4m
+    // frame counts are the generated 2..5
+    f1.foreach { f =>
+      f.asset_id % 4 match {
+        case 0 => assert(f.kind == "audio" && f.features(0) > 0.1f && f.features(0) < 0.8f)
+        case 1 => assert(f.kind == "image" && f.width >= 4 && f.width <= 31)
+        case 2 => assert(f.kind == "video" && f.n_frames >= 2 && f.n_frames <= 5)
+        case _ => assert(f.kind == "video" && f.width >= 64) // stub fallback
+      }
+    }
+    val frames = Multimodal.sampleFrames(assets, stride = 2).collect()
     assert(frames.nonEmpty)
-    assert(frames.forall(_.frame_idx % 10 == 0))
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    // malformed payloads fail loudly, not silently as zeros
+    intercept[IllegalArgumentException] {
+      graft.multimodal.HeaderCodecs.decodeBatch(Seq(
+        graft.multimodal.Asset(9L, "audio/wav", Array[Byte](1, 2, 3), "u")))
+    }
   }
 }
