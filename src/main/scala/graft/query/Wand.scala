@@ -170,18 +170,33 @@ object Wand {
     io.write(
       q.withColumn("chunk", pmod(xxhash64(col("query_id")), lit(numChunks))),
       s"$staging/queries", partitionBy = Seq("chunk"))
-    var wroteAny = false
-    (0L until numChunks).foreach { c =>
+    // chunk jobs are INDEPENDENT (disjoint query sets, disjoint sink dirs):
+    // submit a few concurrently so Spark overlaps one chunk's straggler/IO
+    // tail with the next chunk's work (same pattern as the concurrent group
+    // builds in PackedIndex). Bounded pool — each in-flight chunk holds one
+    // chunkSize collect + one broadcast.
+    def runChunk(c: Long): Boolean = {
       val chunkPath = java.nio.file.Paths.get(s"$staging/queries/chunk=$c")
-      if (java.nio.file.Files.exists(chunkPath)) {
+      java.nio.file.Files.exists(chunkPath) && {
         val chunk = io.read(spark, chunkPath.toString)
           .select(col("query_id"), col("text"))
           .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
-        if (chunk.nonEmpty) {
+        chunk.nonEmpty && {
           io.write(search(spark, indexDir, chunk, k), s"$staging/hits/chunk=$c")
-          wroteAny = true
+          true
         }
       }
+    }
+    val wroteAny: Boolean = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val width = math.min(numChunks, 4L).toInt
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence((0L until numChunks).map(c => Future(runChunk(c)))),
+        Duration.Inf).exists(identity)
+      finally pool.shutdown()
     }
     if (!wroteAny) search(spark, indexDir, Nil, k)
     else io.read(spark, s"$staging/hits")
