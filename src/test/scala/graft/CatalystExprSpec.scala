@@ -31,6 +31,17 @@ class CatalystExprSpec extends SparkSpec {
     assert(r == Seq("x", "y", "z"))
   }
 
+  test("config-driven GraftExtensions injects the strategy and SQL function") {
+    // the shared suite session is built with
+    // spark.sql.extensions=graft.plans.GraftExtensions \u2014 both injections
+    // must be live WITHOUT any programmatic registration call
+    assert(spark.sessionState.planner.extraPlanningStrategies
+      .contains(graft.plans.Bm25Strategy),
+      "Bm25Strategy not injected by spark.sql.extensions")
+    assert(spark.catalog.functionExists("py_ws_tokenize"),
+      "py_ws_tokenize not in the catalog via injectFunction")
+  }
+
   test("expression participates in whole-stage codegen") {
     val df = spark.range(100).select(
       concat(lit("tok"), col("id"), lit(" other")).as("s"))

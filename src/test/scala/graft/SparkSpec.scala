@@ -13,6 +13,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the config-driven extension path: the whole suite runs with
+      // GraftExtensions active, so its injections (SQL function + planner
+      // strategy) are exercised the way a production cluster enables them
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
