@@ -138,7 +138,11 @@ object ScalingBench {
            |executors. Throughput = rows / wall seconds of the full
            |checkpointed build including parquet writes and manifest commits.
            |""".stripMargin
-      Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+      // Hand-maintained methodology/baseline sections live in
+      // BENCH/METHODOLOGY.md so regenerating the table can't lose them.
+      val appendix = Paths.get("BENCH/METHODOLOGY.md")
+      val full = if (Files.exists(appendix)) md + "\n" + Files.readString(appendix) else md
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), full)
       println(md)
       println(s"""{"build_eff":${f"$buildEff%.3f"},"query_eff":${f"$queryEff%.3f"}}""")
 
