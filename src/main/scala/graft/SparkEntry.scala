@@ -95,6 +95,24 @@ object SparkEntry {
     // T1/W1 BM25 top-k with pinned docId-asc tiebreak
     "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, 10)),
 
+    // S9/T1 filtered retrieval: metadata predicate restricts CANDIDATES,
+    // full-corpus stats score them (Elasticsearch filter-context semantics —
+    // idf/avgdl unchanged by the filter). Filter-then-score: the semi-join
+    // lands before the score aggregation, not after the top-k.
+    "q_bm25_filtered_topk" -> ((s, dir) => {
+      val allowed = DocsCorpus.documents(s, dir)
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val (_, post, dls, _, avgdl, idf) = corpus(s, dir)
+      val scored = InvertedIndex.scoreQueryFiltered(
+        post, idf, dls, avgdl, DocsCorpus.fixedQuery, allowed, P)
+      val bounded = scored.withColumn("score_r", round(col("score"), 4))
+        .select(col("doc_id"), col("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
+      InvertedIndex.rankBounded(bounded, col("doc_id"),
+        col("score_r").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("score_r"), col("rank"))
+    }),
+
     // J7/T4: packed block-max WAND path, end-to-end (build packed index,
     // query via the doc-sharded WAND kernel, merge per-shard top-k). Same
     // oracle as q_bm25_topk — proves the physical path is rank-identical.
@@ -215,6 +233,23 @@ object SparkEntry {
           s""", scored AS (
              |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
              |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |  GROUP BY tf.doc_id
+             |), ranked AS (
+             |  SELECT doc_id, score_r,
+             |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // filter context: candidates restricted to lang='en', idf/avgdl/eps
+      // still computed over the FULL corpus by the shared ctes.
+      "q_bm25_filtered_topk" ->
+        (ctes +
+          s""", allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+             |scored AS (
+             |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+             |  FROM tf JOIN allowed USING (doc_id) JOIN qt USING (term)
+             |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
              |  GROUP BY tf.doc_id
              |), ranked AS (
              |  SELECT doc_id, score_r,

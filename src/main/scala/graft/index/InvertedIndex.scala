@@ -137,6 +137,24 @@ object InvertedIndex {
         bm25Term(col("idf"), col("tf"), col("dl"), lit(avgdl), p)).as("score"))
   }
 
+  /** Filtered retrieval (SURVEY §2.1 S9 — the Elasticsearch integration's
+    * `bool: {must: match, filter: ...}` shape, retrieval_elastic semantics):
+    * restrict the CANDIDATE set to `allowedDocs` while scoring with
+    * FULL-corpus statistics — the filter never changes idf/avgdl, exactly
+    * like an ES filter context. Candidates are removed by a doc_id
+    * left-semi join on the postings BEFORE the score aggregation
+    * (filter-then-score): at 100 TB a selective metadata filter kills most
+    * postings before the groupBy shuffle, and Catalyst broadcasts the
+    * allowed side when it is small (AQE decides at runtime).
+    */
+  def scoreQueryFiltered(postingsDf: DataFrame, idfDf: DataFrame,
+                         docLensDf: DataFrame, avgdl: Double,
+                         queryTerms: Seq[String], allowedDocs: DataFrame,
+                         p: Bm25Params = Bm25Params()): DataFrame =
+    scoreQuery(
+      postingsDf.join(allowedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      idfDf, docLensDf, avgdl, queryTerms, p)
+
   /** Rank the scored docs: score desc, doc_id asc tiebreak (pinned for
     * determinism — SURVEY §2.5 W1), keep top k.
     *
