@@ -136,6 +136,29 @@ object SparkEntry {
         col("score_r").desc, col("doc_id").asc)
     }),
 
+    // S9/J7 filtered retrieval on the KERNEL path: same allowlist semantics
+    // as q_bm25_filtered_topk (candidates restricted to lang='en',
+    // full-corpus stats), pushed into the block-max WAND loop as a sorted
+    // broadcast array consulted before full evaluation. Same SQL oracle as
+    // the declarative filtered query — proves the kernel path is
+    // rank-identical under filtering.
+    "q_bm25_wand_filtered" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-wandf-q").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      val allowedIds = DocsCorpus.documents(s, dir)
+        .filter(col("lang") === "en").select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      val hits = graft.query.Wand.search(s, idxDir,
+        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200,
+        allowedDocs = Some(allowedIds))
+      val bounded = hits.withColumn("score_r", round(col("score"), 4))
+        .select(col("doc_id"), col("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
+      InvertedIndex.rankBounded(bounded, col("doc_id"),
+        col("score_r").desc, col("doc_id").asc)
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -242,7 +265,9 @@ object SparkEntry {
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // filter context: candidates restricted to lang='en', idf/avgdl/eps
-      // still computed over the FULL corpus by the shared ctes.
+      // still computed over the FULL corpus by the shared ctes. The same
+      // oracle checks both the declarative (q_bm25_filtered_topk) and the
+      // WAND-kernel (q_bm25_wand_filtered) filtered paths.
       "q_bm25_filtered_topk" ->
         (ctes +
           s""", allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
@@ -262,6 +287,20 @@ object SparkEntry {
         s""", scored AS (
            |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
            |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, score_r,
+           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      "q_bm25_wand_filtered" -> (ctes +
+        s""", allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+           |scored AS (
+           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+           |  FROM tf JOIN allowed USING (doc_id) JOIN qt USING (term)
+           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
            |  GROUP BY tf.doc_id
            |), ranked AS (
            |  SELECT doc_id, score_r,

@@ -85,15 +85,29 @@ object Wand {
   /** Distributed search: per-shard WAND + global rank. Returns
     * (query_id, doc_id, score, rank), rank 1..k. `k <= 0` means "all matched
     * docs, ranked" — consistent with [[graft.core.Bm25]]'s oracle topK.
+    *
+    * `allowedDocs` (optional) is an Elasticsearch-filter-context candidate
+    * allowlist: only listed doc_ids may enter the result heap, while
+    * idf/avgdl stay full-corpus (the filter restricts candidates, never
+    * statistics). It ships to executors as ONE sorted broadcast array and is
+    * consulted by binary search immediately before full evaluation — WAND's
+    * block-max skipping stays untouched and correct, because dropping
+    * candidates only lowers the heap threshold versus the unfiltered run
+    * (bounds remain valid upper bounds). Suited to selective filters (the
+    * list must fit in a broadcast); a non-selective filter should instead
+    * pre-restrict the corpus at index-build time.
     */
   def search(spark: SparkSession, indexDir: String,
-             queries: Seq[(Long, String)], k: Int): DataFrame = {
+             queries: Seq[(Long, String)], k: Int,
+             allowedDocs: Option[Array[Long]] = None): DataFrame = {
     val (stats, prepared) = prepare(spark, indexDir, queries)
     val terms = prepared.flatMap(_.idf.keys).distinct
     import spark.implicits._
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
       .withColumn("rank", lit(1)).limit(0)
     val bc = spark.sparkContext.broadcast((stats, prepared))
+    val bcAllowed = spark.sparkContext.broadcast(
+      allowedDocs.map(_.sorted).orNull)
     val postings = PackedIndex.loadPostings(spark, indexDir)
     val matched =
       (if (terms.size <= IsinThreshold)
@@ -120,7 +134,7 @@ object Wand {
             val shard = buf.head.shard
             val rows = scala.collection.mutable.ArrayBuffer.empty[PackedPostings]
             while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
-            shardSearch(rows.iterator, qs, st, k)
+            shardSearch(rows.iterator, qs, st, k, bcAllowed.value)
           }
         }.flatten
       }
@@ -414,7 +428,8 @@ object Wand {
     * baseDocId order to form one logical posting list.
     */
   def shardSearch(rows: Iterator[PackedPostings], queries: Seq[PreparedQuery],
-                  stats: IndexStats, k: Int): Iterator[Hit] = {
+                  stats: IndexStats, k: Int,
+                  allowed: Array[Long] = null): Iterator[Hit] = {
     val p0 = stats.params
     val rawByTerm = scala.collection.mutable.HashMap.empty[String, Array[PackedBlock]]
     rows.foreach { r =>
@@ -440,7 +455,7 @@ object Wand {
       if (cursors.isEmpty) Iterator.empty
       else {
         val heap = new TopKHeap(kEff)
-        wandLoop(cursors, q, heap, stats)
+        wandLoop(cursors, q, heap, stats, allowed)
         heap.drain().map { case (s, d) => Hit(q.queryId, d, s) }
       }
     }
@@ -472,7 +487,8 @@ object Wand {
     * stall 32-thread executors in GC.
     */
   private def wandLoop(cursors: Array[Cursor], q: PreparedQuery,
-                       heap: TopKHeap, stats: IndexStats): Unit = {
+                       heap: TopKHeap, stats: IndexStats,
+                       allowed: Array[Long] = null): Unit = {
     val byTerm = new java.util.HashMap[String, Cursor](cursors.length * 2)
     cursors.foreach(c => byTerm.put(c.term, c))
     val arr = new Array[Cursor](cursors.length)
@@ -509,7 +525,9 @@ object Wand {
         while (j <= pivotIdx) { arr(j).seek(pivotDoc); blockAcc += arr(j).blockUb; j += 1 }
         // include later cursors that happen to sit on pivotDoc
         while (j < nActive && arr(j).curDoc == pivotDoc) { blockAcc += arr(j).blockUb; j += 1 }
-        if (blockAcc >= theta) {
+        if (blockAcc >= theta &&
+            (allowed == null ||
+              java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0)) {
           val s = evalDoc(pivotDoc, q, byTerm, stats)
           heap.offer(s, pivotDoc)
         }

@@ -104,6 +104,52 @@ class PackedIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered WAND == exhaustive oracle restricted to the allowlist") {
+    val docs = randomCorpus(nDocs = 800, vocab = 150, seed = 11)
+    val oracle = new Bm25.Oracle(docs, P)
+    val dir = Files.createTempDirectory("graft-idx-filt").toString
+    buildIndex(docs, dir, shardBits = 8, groups = 2)
+
+    val queries: Seq[(Long, String)] = Seq(
+      1L -> "t0 t1", 2L -> "t100 t140", 3L -> "t0 t0 t42 t7")
+    val k = 10
+    // allowlist: every third doc — selective but non-trivial
+    val allowed = (0L until 800L).filter(_ % 3 == 0).toArray
+
+    val got = Wand.search(spark, dir, queries, k, Some(allowed)).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+
+    val allowedSet = allowed.toSet
+    queries.foreach { case (qid, text) =>
+      // oracle: full ranking, then restrict candidates (stats stay global)
+      val want = oracle.topK(text.split(" ").toSeq, 0).filter(_._2 != 0.0)
+        .filter(h => allowedSet.contains(h._1)).take(k)
+      val g = got.getOrElse(qid, Seq.empty)
+      assert(g.map(_._1) == want.map(_._1),
+        s"filtered rank order mismatch for q$qid: got=$g want=$want")
+      g.zip(want).foreach { case ((gd, gs), (wd, ws)) =>
+        assert(gd == wd && gs == ws,
+          s"filtered score not bit-identical for q$qid doc $gd: $gs vs $ws")
+      }
+      g.foreach { case (d, _) =>
+        assert(allowedSet.contains(d), s"doc $d leaked past the filter")
+      }
+    }
+
+    // empty allowlist -> no hits; full allowlist == unfiltered
+    assert(Wand.search(spark, dir, queries, k, Some(Array.empty[Long])).count() == 0)
+    val full = Wand.search(spark, dir, queries, k,
+      Some((0L until 800L).toArray)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).sorted.toSeq
+    val unfiltered = Wand.search(spark, dir, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).sorted.toSeq
+    assert(full == unfiltered, "all-docs allowlist must equal unfiltered run")
+  }
+
   test("WAND parity under heavy stopword skew (salt/split stress)") {
     // 90% of tokens drawn from 3 stopwords -> giant posting lists
     val rnd = new scala.util.Random(11)
