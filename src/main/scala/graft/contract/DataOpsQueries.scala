@@ -63,6 +63,28 @@ object DataOpsQueries {
         .filter(col("rank") <= 10)
     }),
 
+    // filtered vector search: candidates restricted by a metadata predicate
+    // on the documents table (vec_id aligns with doc_id) — the filter is a
+    // NARROW corpus pre-restriction (left-semi before the heap kernel), the
+    // exact compositional shape a 100 TB filtered-ANN path wants: the
+    // corpus still never shuffles and the kernel is unchanged.
+    "q_ann_filtered_topk" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+      val allowed = DocsCorpus.documents(s, dir)
+        .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.join(allowed, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val hits = Ann.bruteForceTopK(queries, corpus, k = 30)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      hits.withColumn("cos_r", round(col("cos"), 4))
+        .select(col("query_id"), col("vec_id"), col("cos_r"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+    }),
+
     // IVF-style ANN (approximate BY DESIGN, so no exact DuckDB oracle; the
     // driver check is rows-only). The query carries its own driver-visible
     // quality oracle instead: `in_exact_topk` marks whether each IVF hit is
@@ -214,6 +236,24 @@ object DataOpsQueries {
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id, embedding AS vec FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(qvec) + 1),
+        |        i -> CAST(qvec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> CAST(qvec[i] AS DOUBLE) ** 2)))
+        |       * sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> CAST(vec[i] AS DOUBLE) ** 2)))), 4) + 0.0 AS cos_r
+        |  FROM q, c),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_r, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |c AS (SELECT vec_id, embedding AS vec FROM embeddings
+        |      WHERE vec_id IN (SELECT doc_id FROM allowed)),
         |scored AS (
         |  SELECT q.query_id, c.vec_id,
         |    round(list_sum(list_transform(range(1, len(qvec) + 1),

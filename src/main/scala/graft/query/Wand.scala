@@ -168,7 +168,8 @@ object Wand {
   def searchDs(spark: SparkSession, indexDir: String, queries: DataFrame,
                k: Int, chunkSize: Int = 10000,
                io: graft.io.TableIO = graft.io.ParquetDirIO,
-               stagingDir: Option[String] = None): DataFrame = {
+               stagingDir: Option[String] = None,
+               allowedDocs: Option[Array[Long]] = None): DataFrame = {
     val q = queries.select(col("query_id").cast("long"), col("text").cast("string"))
     val n = q.count()
     if (n == 0) return search(spark, indexDir, Nil, k)
@@ -177,7 +178,7 @@ object Wand {
       // bounded batch: one chunk == the Seq path; staging would only add a
       // write+read round-trip
       val chunk = q.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
-      return search(spark, indexDir, chunk, k)
+      return search(spark, indexDir, chunk, k, allowedDocs)
     }
     val staging = stagingDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-searchds").toString)
@@ -196,7 +197,8 @@ object Wand {
           .select(col("query_id"), col("text"))
           .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
         chunk.nonEmpty && {
-          io.write(search(spark, indexDir, chunk, k), s"$staging/hits/chunk=$c")
+          io.write(search(spark, indexDir, chunk, k, allowedDocs),
+            s"$staging/hits/chunk=$c")
           true
         }
       }
