@@ -76,6 +76,23 @@ class RetrieverSpec extends SparkSpec {
     assert(seqHits.nonEmpty)
   }
 
+  test("filtered Dataset batch equals the filtered Seq path (staged chunks)") {
+    val dir = Files.createTempDirectory("graft-dsqf").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 300, 4).toDF(), dir, shardBits = 6, groups = 2)
+    val batch = Bench.queryBatch(40)
+    val allowed = Some((0L until 300L).filter(_ % 2 == 0).toArray)
+    val seqHits = graft.query.Wand.search(spark, dir, batch, 10, allowed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dsHits = graft.query.Wand.searchDs(spark, dir,
+      batch.toDF("query_id", "text"), 10, chunkSize = 7, // force multi-chunk
+      allowedDocs = allowed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(dsHits == seqHits)
+    assert(seqHits.nonEmpty)
+    assert(seqHits.forall(_._2 % 2 == 0), "odd doc leaked past the filter")
+  }
+
   test("ensemble retriever fuses wand + cosine with RRF semantics") {
     // tiny pages index
     val dir = Files.createTempDirectory("graft-retr").toString
