@@ -519,7 +519,22 @@ object Wand {
       }
       if (pivotIdx < 0) return // no remaining doc can enter the heap
       val pivotDoc = arr(pivotIdx).curDoc
-      if (arr(0).curDoc == pivotDoc) {
+      // Allowlist advance (the Lucene DocIdSet-advance pattern): docs below
+      // the pivot can never be evaluated (their prefix bound is < theta), so
+      // when the pivot itself is filtered out, every doc in [pivotDoc,
+      // nextAllowed) is dead — jump all cursors straight to the next allowed
+      // doc instead of crawling the postings one doc at a time. For a
+      // selective filter this skips whole blocks via each cursor's maxDoc
+      // metadata.
+      val pivotAllowed = allowed == null ||
+        java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0
+      if (!pivotAllowed) {
+        val ins = -java.util.Arrays.binarySearch(allowed, pivotDoc) - 1
+        if (ins >= allowed.length) return // allowlist exhausted: done
+        val target = allowed(ins)
+        var j = 0
+        while (j < nActive && arr(j).curDoc < target) { arr(j).seek(target); j += 1 }
+      } else if (arr(0).curDoc == pivotDoc) {
         // all cursors before pivot are aligned at pivotDoc:
         // refine with BLOCK-level bounds before full evaluation
         var blockAcc = 0.0
@@ -527,9 +542,8 @@ object Wand {
         while (j <= pivotIdx) { arr(j).seek(pivotDoc); blockAcc += arr(j).blockUb; j += 1 }
         // include later cursors that happen to sit on pivotDoc
         while (j < nActive && arr(j).curDoc == pivotDoc) { blockAcc += arr(j).blockUb; j += 1 }
-        if (blockAcc >= theta &&
-            (allowed == null ||
-              java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0)) {
+        // pivotAllowed holds here: the filtered case was handled above
+        if (blockAcc >= theta) {
           val s = evalDoc(pivotDoc, q, byTerm, stats)
           heap.offer(s, pivotDoc)
         }

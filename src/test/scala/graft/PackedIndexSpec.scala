@@ -138,6 +138,20 @@ class PackedIndexSpec extends SparkSpec {
       }
     }
 
+    // very sparse allowlist (5 of 800): stresses the allowlist-advance jump
+    val sparse = Array(3L, 97L, 402L, 555L, 799L)
+    val gotSparse = Wand.search(spark, dir, queries, k, Some(sparse)).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+    val sparseSet = sparse.toSet
+    queries.foreach { case (qid, text) =>
+      val want = oracle.topK(text.split(" ").toSeq, 0).filter(_._2 != 0.0)
+        .filter(h => sparseSet.contains(h._1)).take(k)
+      assert(gotSparse.getOrElse(qid, Seq.empty) == want,
+        s"sparse-filter mismatch for q$qid")
+    }
+
     // empty allowlist -> no hits; full allowlist == unfiltered
     assert(Wand.search(spark, dir, queries, k, Some(Array.empty[Long])).count() == 0)
     val full = Wand.search(spark, dir, queries, k,
