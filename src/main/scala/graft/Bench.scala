@@ -130,10 +130,19 @@ object Bench {
       DocsCorpus.tokenized(spark, sfDir), wandDir, shardBits = 7, groups = 2))
     val wandQuerySec = timed(query.Wand.search(spark, wandDir,
       Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200).count())
+    // filtered query-only on the same index (every 10th doc allowed):
+    // evidences the allowlist-advance path — selective filters should be
+    // at or below the unfiltered wall, never above
+    val wandDocN = DocsCorpus.documents(spark, sfDir).count()
+    val allowTenth = (0L until wandDocN by 10L).toArray
+    val wandFilteredSec = timed(query.Wand.search(spark, wandDir,
+      Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200,
+      Some(allowTenth)).count())
 
     val results = battery ++ xxLines ++ Seq(
       "q_bm25_wand_build_only" -> wandBuildSec,
       "q_bm25_wand_query_only" -> wandQuerySec,
+      "q_bm25_wand_filtered_query_only" -> wandFilteredSec,
       "pages_index_build" -> buildSec, "wand_query_batch" -> querySec,
       "wand_query_ds_10k" -> dsSec, "wand_query_ds_100k" -> ds2Sec)
 

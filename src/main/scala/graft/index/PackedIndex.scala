@@ -463,6 +463,30 @@ object PackedIndex {
       m("docs").toLong, m("sumDl").toLong)
   }
 
+  /** Visibility-only delete (Lucene-style tombstones): marks doc ids as
+    * deleted so every query path excludes them, WITHOUT rewriting postings
+    * or corpus statistics — df/idf/avgdl stay frozen until a rebuild, the
+    * same contract as Lucene's deleted docs before a segment merge. At
+    * 100 TB this is the only viable per-document delete (a GDPR erasure
+    * must not force an index rebuild). Idempotent and crash-safe: the
+    * merged sorted set is written to a tmp file and atomically moved over
+    * tombstones.txt (readers see either the old or the new complete set).
+    * Deleted ids are NOT reusable — append() keeps offsetting from
+    * committedDocs, which tombstones never change.
+    */
+  def delete(dir: String, docIds: Seq[Long]): Unit = {
+    val merged = (loadTombstones(dir) ++ docIds).distinct.sorted
+    atomicWrite(Paths.get(dir, "tombstones.txt"), merged.mkString("\n"))
+  }
+
+  /** Sorted tombstoned doc ids; empty when no delete has ever run. */
+  def loadTombstones(dir: String): Array[Long] = {
+    val p = Paths.get(dir, "tombstones.txt")
+    if (!Files.exists(p)) Array.empty[Long]
+    else Files.readString(p).split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toArray
+  }
+
   /** Parse a flat one-level JSON object of numbers (no strings/nesting). */
   private def readJsonFlat(s: String): Map[String, String] =
     s.trim.stripPrefix("{").stripSuffix("}").split(",").map { kv =>

@@ -87,6 +87,8 @@ final case class Bm25TopKExec(indexDir: String, queries: Seq[(Long, String)],
     val terms = prepared.flatMap(_.idf.keys).distinct
     if (terms.isEmpty) return sparkContext.emptyRDD[InternalRow]
     val bc = sparkContext.broadcast((stats, prepared))
+    val tomb = PackedIndex.loadTombstones(indexDir)
+    val bcDenied = sparkContext.broadcast(if (tomb.isEmpty) null else tomb)
     val parts = math.max(sparkContext.defaultParallelism * 4, 16)
     import spark.implicits._
     val matched = PackedIndex.loadPostings(spark, indexDir)
@@ -103,7 +105,7 @@ final case class Bm25TopKExec(indexDir: String, queries: Seq[(Long, String)],
           val shard = buf.head.shard
           val rows = scala.collection.mutable.ArrayBuffer.empty[PackedPostings]
           while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
-          Wand.shardSearch(rows.iterator, qs, st, k)
+          Wand.shardSearch(rows.iterator, qs, st, k, denied = bcDenied.value)
         }
       }.flatten
       // downstream operators expect UnsafeRow; project per partition

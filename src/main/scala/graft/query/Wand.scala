@@ -108,6 +108,10 @@ object Wand {
     val bc = spark.sparkContext.broadcast((stats, prepared))
     val bcAllowed = spark.sparkContext.broadcast(
       allowedDocs.map(_.sorted).orNull)
+    // tombstoned docs are invisible to every search (PackedIndex.delete)
+    val tomb = PackedIndex.loadTombstones(indexDir)
+    val bcDenied = spark.sparkContext.broadcast(
+      if (tomb.isEmpty) null else tomb)
     val postings = PackedIndex.loadPostings(spark, indexDir)
     val matched =
       (if (terms.size <= IsinThreshold)
@@ -134,7 +138,8 @@ object Wand {
             val shard = buf.head.shard
             val rows = scala.collection.mutable.ArrayBuffer.empty[PackedPostings]
             while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
-            shardSearch(rows.iterator, qs, st, k, bcAllowed.value)
+            shardSearch(rows.iterator, qs, st, k, bcAllowed.value,
+              bcDenied.value)
           }
         }.flatten
       }
@@ -431,7 +436,8 @@ object Wand {
     */
   def shardSearch(rows: Iterator[PackedPostings], queries: Seq[PreparedQuery],
                   stats: IndexStats, k: Int,
-                  allowed: Array[Long] = null): Iterator[Hit] = {
+                  allowed: Array[Long] = null,
+                  denied: Array[Long] = null): Iterator[Hit] = {
     val p0 = stats.params
     val rawByTerm = scala.collection.mutable.HashMap.empty[String, Array[PackedBlock]]
     rows.foreach { r =>
@@ -457,7 +463,7 @@ object Wand {
       if (cursors.isEmpty) Iterator.empty
       else {
         val heap = new TopKHeap(kEff)
-        wandLoop(cursors, q, heap, stats, allowed)
+        wandLoop(cursors, q, heap, stats, allowed, denied)
         heap.drain().map { case (s, d) => Hit(q.queryId, d, s) }
       }
     }
@@ -490,7 +496,8 @@ object Wand {
     */
   private def wandLoop(cursors: Array[Cursor], q: PreparedQuery,
                        heap: TopKHeap, stats: IndexStats,
-                       allowed: Array[Long] = null): Unit = {
+                       allowed: Array[Long] = null,
+                       denied: Array[Long] = null): Unit = {
     val byTerm = new java.util.HashMap[String, Cursor](cursors.length * 2)
     cursors.foreach(c => byTerm.put(c.term, c))
     val arr = new Array[Cursor](cursors.length)
@@ -542,8 +549,13 @@ object Wand {
         while (j <= pivotIdx) { arr(j).seek(pivotDoc); blockAcc += arr(j).blockUb; j += 1 }
         // include later cursors that happen to sit on pivotDoc
         while (j < nActive && arr(j).curDoc == pivotDoc) { blockAcc += arr(j).blockUb; j += 1 }
-        // pivotAllowed holds here: the filtered case was handled above
-        if (blockAcc >= theta) {
+        // pivotAllowed holds here: the allowlist case was handled above.
+        // Tombstones are a DENYLIST over a dense complement, so there is no
+        // jump target to seek to — just skip the evaluation (cursors still
+        // advance past the doc below).
+        if (blockAcc >= theta &&
+            (denied == null ||
+              java.util.Arrays.binarySearch(denied, pivotDoc) < 0)) {
           val s = evalDoc(pivotDoc, q, byTerm, stats)
           heap.offer(s, pivotDoc)
         }

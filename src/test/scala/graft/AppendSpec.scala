@@ -132,6 +132,46 @@ class AppendSpec extends SparkSpec {
     assert(hits.length == hits.distinct.length, "orphan docs served twice")
   }
 
+  test("tombstone delete: deleted docs vanish, survivors keep exact scores") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    PagesPipeline.buildIndex(
+      PagesGen.pages(spark, 300, partitions = 4).toDF(), dir,
+      shardBits = 6, groups = 2)
+    val queries = Seq(1L -> "the w3 w17", 2L -> "w100 w2000")
+
+    // baseline: full ranking (k=0 -> every matched doc)
+    val base = Wand.search(spark, dir, queries, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val dead = base.map(_._2).distinct.take(7) ++ Seq(0L, 1L)
+    graft.index.PackedIndex.delete(dir, dead)
+    graft.index.PackedIndex.delete(dir, dead.take(3)) // idempotent re-delete
+
+    val after = Wand.search(spark, dir, queries, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val deadSet = dead.toSet
+    assert(after.forall(h => !deadSet.contains(h._2)), "deleted doc returned")
+    // visibility-only semantics: survivors' scores are BIT-identical to the
+    // pre-delete run (stats frozen until rebuild, like Lucene pre-merge)
+    assert(after.toSet == base.filterNot(h => deadSet.contains(h._2)).toSet)
+
+    // the strategy-planned path honors tombstones too
+    val planHits = graft.plans.Bm25TopKPlan.search(spark, dir, queries, 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(planHits.intersect(deadSet).isEmpty)
+
+    // append after delete: new docs are visible, tombstones persist
+    val extra = PagesGen.pages(spark, 350, partitions = 4)
+      .toDF().join(
+        spark.read.parquet(s"$dir/docs_raw").select(col("url")),
+        Seq("url"), "left_anti")
+    PagesPipeline.appendPages(extra, dir)
+    val post = Wand.search(spark, dir, queries, 0).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(post.intersect(deadSet).isEmpty, "tombstones lost by append")
+    assert(post.exists(_ >= 300L), "appended docs not searchable")
+  }
+
   test("salted count equals plain groupBy count under heavy skew") {
     val df = (Seq.fill(5000)("hot") ++ (0 until 500).map(i => s"cold$i"))
       .toDF("k")
