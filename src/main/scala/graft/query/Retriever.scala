@@ -11,11 +11,16 @@ trait Retriever extends Serializable {
   def search(spark: SparkSession, queries: Seq[(Long, String)], k: Int): DataFrame
 }
 
-/** Sparse lexical retriever over a packed index dir — `BM25Retrieval`. */
-final class Bm25WandRetriever(indexDir: String) extends Retriever {
+/** Sparse lexical retriever over a packed index dir — `BM25Retrieval`.
+  * `allowedDocs` is the optional ES-style filter context (candidates
+  * restricted, stats full-corpus); tombstoned docs are always excluded.
+  */
+final class Bm25WandRetriever(indexDir: String,
+                              allowedDocs: Option[Array[Long]] = None)
+    extends Retriever {
   override def search(spark: SparkSession, queries: Seq[(Long, String)],
                       k: Int): DataFrame =
-    Wand.search(spark, indexDir, queries, k)
+    Wand.search(spark, indexDir, queries, k, allowedDocs)
 }
 
 /** Dense retriever over an embeddings table — the `AutoModelForRetrieval`
