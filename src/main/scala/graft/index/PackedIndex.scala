@@ -463,6 +463,109 @@ object PackedIndex {
       m("docs").toLong, m("sumDl").toLong)
   }
 
+  /** Physically apply tombstones (the Lucene segment-merge analogue):
+    * rewrite every posting list minus the deleted docs, recompute df and
+    * corpus stats over the survivors, and emit a complete fresh index at
+    * `outDir` with NO tombstones. Surviving docs KEEP their doc ids (no
+    * renumbering — downstream joins/labels/judgments stay valid, and the
+    * shard assignment doc_id >> shardBits is unchanged), so query results
+    * are bit-identical to a fresh build over the surviving corpus. The old
+    * index is untouched; the caller swaps dirs when ready.
+    *
+    * Stats are exact: n' = n - |tombstones| (ids are required to lie in the
+    * index's dense [0, committedDocs) range), sumDl' = sumDl - Σ dl(deleted)
+    * with the deleted dls read from the postings themselves (block-range
+    * pruned; a deleted doc with no postings is an empty doc whose dl is 0).
+    *
+    * One decode+repack pass over the postings — the same per-(shard,term)
+    * kernel shape as the original pack stage, so the compaction scales
+    * exactly like a build (narrow per-row work, no shuffle).
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              io: TableIO = ParquetDirIO): Unit = {
+    import spark.implicits._
+    val tomb = loadTombstones(dir)
+    require(tomb.nonEmpty, s"compact: no tombstones at $dir")
+    val stats = readStats(dir)
+    val committed = committedDocs(dir)
+    require(tomb.forall(id => id >= 0 && id < committed),
+      s"compact: tombstoned ids outside the dense [0, $committed) doc range")
+    val n2 = stats.n - tomb.length
+    require(n2 > 0, s"compact: all $committed docs deleted — delete the index instead")
+
+    // pass 1 (block-range pruned): dl of every deleted doc that has postings
+    val bcTomb = spark.sparkContext.broadcast(tomb)
+    val deletedDl: Map[Long, Long] = loadPostings(spark, dir, io)
+      .mapPartitions { it =>
+        val t = bcTomb.value
+        it.flatMap { pp =>
+          pp.blocks.iterator
+            .filter { b =>
+              // any tombstone inside [base, maxDoc]?
+              val i = java.util.Arrays.binarySearch(t, b.base)
+              val from = if (i >= 0) i else -i - 1
+              from < t.length && t(from) <= b.maxDoc
+            }
+            .flatMap { b =>
+              val cb = Codec.Block(b.base, b.maxDoc, b.count, b.maxTf,
+                b.minDl, b.docs, b.tfs, b.dls)
+              cb.decodeDocIds.iterator.zip(cb.decodeDls.iterator)
+                .filter { case (d, _) => java.util.Arrays.binarySearch(t, d) >= 0 }
+            }
+        }
+      }.distinct().collect().toMap
+    val sumDl2 = listManifests(dir).map(_.sumDl).sum - deletedDl.values.sum
+
+    // pass 2: decode -> drop deleted -> repack with the same codec. The
+    // surviving sorted doc array re-blocks exactly as a fresh build would.
+    Files.createDirectories(Paths.get(outDir, "manifest"))
+    val blockSize = stats.blockSize
+    val t0 = System.nanoTime()
+    val repacked = loadPostings(spark, dir, io).mapPartitions { it =>
+      val t = bcTomb.value
+      it.flatMap { pp =>
+        val blocks = pp.blocks.map(b => Codec.Block(b.base, b.maxDoc, b.count,
+          b.maxTf, b.minDl, b.docs, b.tfs, b.dls))
+        val docs = blocks.flatMap(_.decodeDocIds)
+        val keep = docs.map(d => java.util.Arrays.binarySearch(t, d) < 0)
+        if (keep.forall(identity)) Iterator.single(pp) // untouched list
+        else {
+          val tfs = blocks.flatMap(_.decodeTfs)
+          val dls = blocks.flatMap(_.decodeDls)
+          val kd = Array.newBuilder[Long]
+          val kt = Array.newBuilder[Long]
+          val kl = Array.newBuilder[Long]
+          var i = 0
+          while (i < docs.length) {
+            if (keep(i)) { kd += docs(i); kt += tfs(i); kl += dls(i) }
+            i += 1
+          }
+          val kdA = kd.result()
+          if (kdA.isEmpty) Iterator.empty // term vanished from this shard
+          else Iterator.single(PackedPostings(pp.shard, pp.term, kdA.length.toLong,
+            Codec.pack(kdA, kt.result(), kl.result(), blockSize)
+              .map(b => PackedBlock(b.baseDocId, b.maxDocId, b.count, b.maxTf,
+                b.minDl, b.docs, b.tfs, b.dls)).toArray))
+        }
+      }
+    }
+    io.write(repacked.toDF(), s"$outDir/postings/grp=0")
+
+    // stage 3 of a build, over the repacked rows (column-pruned)
+    val packedMeta = io.read(spark, s"$outDir/postings/grp=0")
+      .agg(count(lit(1)).as("terms"), sum(col("nPostings")).as("postings"))
+      .collect()(0)
+    io.write(io.read(spark, s"$outDir/postings")
+      .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$outDir/df")
+    val avgRawIdf2 = InvertedIndex.avgRawIdf(io.read(spark, s"$outDir/df"), n2)
+    writeStats(outDir, IndexStats(n2, sumDl2.toDouble / n2, avgRawIdf2,
+      stats.k1, stats.b, stats.epsilon, stats.shardBits, blockSize),
+      dfDir = "df")
+    writeManifest(Paths.get(outDir, "manifest", "group-0.json"),
+      GroupManifest(0, packedMeta.getLong(0), packedMeta.getLong(1), 0L,
+        (System.nanoTime() - t0) / 1e6, n2, sumDl2)) // committed LAST
+  }
+
   /** Visibility-only delete (Lucene-style tombstones): marks doc ids as
     * deleted so every query path excludes them, WITHOUT rewriting postings
     * or corpus statistics — df/idf/avgdl stay frozen until a rebuild, the

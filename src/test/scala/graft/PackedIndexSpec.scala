@@ -188,6 +188,44 @@ class PackedIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction == fresh build over survivors (ids kept, stats exact)") {
+    val docs = randomCorpus(nDocs = 600, vocab = 120, seed = 21)
+    val dir = Files.createTempDirectory("graft-cpt").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    val dead = (Seq(0L, 3L, 17L, 255L, 256L, 599L) ++ (100L until 120L)).distinct
+    PackedIndex.delete(dir, dead)
+    val out = Files.createTempDirectory("graft-cpt-out").toString
+    PackedIndex.compact(spark, dir, out)
+    assert(PackedIndex.loadTombstones(out).isEmpty)
+
+    // stats equal a fresh build over the survivors bit-for-bit
+    val deadSet = dead.toSet
+    val survivors = docs.indices.map(_.toLong).filterNot(deadSet)
+    val freshDocs: IndexedSeq[Array[String]] = survivors.map(i => docs(i.toInt))
+    val dirF = Files.createTempDirectory("graft-cpt-fresh").toString
+    buildIndex(freshDocs, dirF, shardBits = 7, groups = 2)
+    val sC = PackedIndex.readStats(out)
+    val sF = PackedIndex.readStats(dirF)
+    assert(sC.n == sF.n)
+    assert(sC.avgdl == sF.avgdl, s"avgdl ${sC.avgdl} vs fresh ${sF.avgdl}")
+    assert(sC.avgRawIdf == sF.avgRawIdf)
+
+    // query parity: compacted index == exhaustive oracle over survivors,
+    // scores bit-identical, ORIGINAL doc ids preserved
+    val oracle = new Bm25.Oracle(freshDocs, P)
+    val queries = Seq(1L -> "t0 t1", 2L -> "t100 t110 t5", 3L -> "t42 t42 t7")
+    val got = Wand.search(spark, out, queries, 0).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+    queries.foreach { case (qid, text) =>
+      val want = oracle.topK(text.split(" ").toSeq, 0).filter(_._2 != 0.0)
+        .map { case (idx, s) => (survivors(idx.toInt), s) }
+      assert(got.getOrElse(qid, Seq.empty) == want,
+        s"compacted search mismatch for q$qid")
+    }
+  }
+
   test("build is resumable: completed groups are skipped, result identical") {
     val docs = randomCorpus(nDocs = 300, vocab = 80, seed = 3)
     val dir = Files.createTempDirectory("graft-idx-resume").toString
