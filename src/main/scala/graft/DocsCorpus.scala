@@ -67,4 +67,12 @@ object DocsCorpus {
       |q(term) AS (VALUES ('spark'), ('table'), ('query'), ('vector'), ('zzz_absent')),
       |qt AS (SELECT term, CAST(count(*) AS BIGINT) AS q_mult FROM q GROUP BY 1)
       |""".stripMargin
+
+  /** Same CTE chain but over a row-filtered corpus — every derived stat
+    * (n, avgdl, df, eps floor) is recomputed over the filtered docs,
+    * exactly the semantics of an index built (or compacted) over that
+    * subset. `where` is a SQL predicate over the documents columns.
+    */
+  def oracleCorpusCtesWhere(where: String): String =
+    oracleCorpusCtes.replace("  FROM documents\n", s"  FROM documents WHERE $where\n")
 }

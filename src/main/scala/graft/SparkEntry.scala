@@ -159,6 +159,49 @@ object SparkEntry {
         col("score_r").desc, col("doc_id").asc)
     }),
 
+    // §2.10 tombstone delete, driver-exercised: build, delete every zh doc,
+    // query. Visibility-only semantics — idf/avgdl stay FULL-corpus (stats
+    // frozen until compaction, like Lucene pre-merge), deleted docs are
+    // excluded. Oracle: full-corpus ctes + NOT-IN candidate restriction.
+    "q_bm25_tombstone_topk" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-tomb-q").toString
+      graft.index.PackedIndex.build(
+        DocsCorpus.tokenized(s, dir), idxDir, shardBits = 7, groups = 2, p = P)
+      val dead = DocsCorpus.documents(s, dir)
+        .filter(col("lang") === "zh").select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      graft.index.PackedIndex.delete(idxDir, dead.toSeq)
+      val hits = graft.query.Wand.search(s, idxDir,
+        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
+      val bounded = hits.withColumn("score_r", round(col("score"), 4))
+        .select(col("doc_id"), col("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
+      InvertedIndex.rankBounded(bounded, col("doc_id"),
+        col("score_r").desc, col("doc_id").asc)
+    }),
+
+    // §2.10 compaction, driver-exercised: same deletes applied PHYSICALLY —
+    // stats/df/eps recomputed over the survivors, ids preserved. Oracle:
+    // the whole cte chain recomputed over the filtered corpus.
+    "q_bm25_compacted_topk" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-cptq").toString
+      graft.index.PackedIndex.build(
+        DocsCorpus.tokenized(s, dir), idxDir, shardBits = 7, groups = 2, p = P)
+      val dead = DocsCorpus.documents(s, dir)
+        .filter(col("lang") === "zh").select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      graft.index.PackedIndex.delete(idxDir, dead.toSeq)
+      val outDir = java.nio.file.Files.createTempDirectory("graft-cptq-out").toString
+      graft.index.PackedIndex.compact(s, idxDir, outDir)
+      val hits = graft.query.Wand.search(s, outDir,
+        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
+      val bounded = hits.withColumn("score_r", round(col("score"), 4))
+        .select(col("doc_id"), col("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
+      InvertedIndex.rankBounded(bounded, col("doc_id"),
+        col("score_r").desc, col("doc_id").asc)
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -294,6 +337,37 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // tombstone semantics: stats full-corpus, deleted docs excluded from
+      // candidates only
+      "q_bm25_tombstone_topk" ->
+        (ctes +
+          s""", live AS (SELECT doc_id FROM documents WHERE lang <> 'zh'),
+             |scored AS (
+             |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+             |  FROM tf JOIN live USING (doc_id) JOIN qt USING (term)
+             |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |  GROUP BY tf.doc_id
+             |), ranked AS (
+             |  SELECT doc_id, score_r,
+             |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // compacted semantics: the ENTIRE stat chain recomputed over survivors
+      "q_bm25_compacted_topk" ->
+        (DocsCorpus.oracleCorpusCtesWhere("lang <> 'zh'") +
+          s""", scored AS (
+             |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+             |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |  GROUP BY tf.doc_id
+             |), ranked AS (
+             |  SELECT doc_id, score_r,
+             |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       "q_bm25_wand_filtered" -> (ctes +
         s""", allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
