@@ -68,6 +68,22 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("filtered BM25 top-k: semi-join restriction sits BELOW the aggregate") {
+    val qe = SparkEntry.queries("q_bm25_filtered_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    // filter-then-score: the semi-join must appear on the BUILD side of the
+    // score aggregation, i.e. deeper in the plan string than the first
+    // HashAggregate — scoring filtered-out docs and discarding them after
+    // the agg would shuffle the full corpus at 100 TB
+    val aggIdx = plan.indexOf("HashAggregate")
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(aggIdx >= 0 && semiIdx > aggIdx,
+      s"semi-join not below the aggregate (agg@$aggIdx, semi@$semiIdx)")
+  }
+
   test("q_bm25_wand_topk runs through the strategy-planned Bm25TopKExec") {
     val df = SparkEntry.queries("q_bm25_wand_topk")(spark, "/root/testdata/sf0.001")
     df.collect() // execute so AQE finalizes
