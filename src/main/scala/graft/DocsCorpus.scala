@@ -73,6 +73,13 @@ object DocsCorpus {
     * exactly the semantics of an index built (or compacted) over that
     * subset. `where` is a SQL predicate over the documents columns.
     */
-  def oracleCorpusCtesWhere(where: String): String =
-    oracleCorpusCtes.replace("  FROM documents\n", s"  FROM documents WHERE $where\n")
+  def oracleCorpusCtesWhere(where: String): String = {
+    val out =
+      oracleCorpusCtes.replace("  FROM documents\n", s"  FROM documents WHERE $where\n")
+    // fail loudly if a reformat of oracleCorpusCtes breaks the anchor — a
+    // silent no-op would hand the caller full-corpus stats
+    require(out != oracleCorpusCtes,
+      "oracleCorpusCtesWhere: anchor '  FROM documents' not found in oracleCorpusCtes")
+    out
+  }
 }

@@ -55,6 +55,37 @@ object SparkEntry {
       .select(col("doc_id"), col("score_r"), col("rank"))
   }
 
+  /** The one-query batch every packed-index contract query runs. */
+  private def contractQueryBatch: Seq[(Long, String)] =
+    Seq(0L -> DocsCorpus.fixedQuery.mkString(" "))
+
+  /** doc_ids of documents in the given language (small, collected). */
+  private def langDocIds(s: SparkSession, dir: String, lang: String): Array[Long] =
+    DocsCorpus.documents(s, dir)
+      .filter(col("lang") === lang).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+
+  /** Shared contract shape for the packed-index top-10 queries: build a
+    * temp packed index over the documents table, run the given search
+    * (k=200 raw hits), then re-rank on the ROUNDED score so tie order
+    * matches the SQL oracle — orderBy+limit (TakeOrderedAndProject) bounds
+    * the rows before the rank window touches them. Keeping this in ONE
+    * place pins all four queries (plain/filtered/tombstone/compacted) to
+    * the same rounding/tie-break contract as their oracles.
+    */
+  private def wandContractTopK(s: SparkSession, dir: String)(
+      run: String => DataFrame): DataFrame = {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-wandq").toString
+    graft.index.PackedIndex.build(
+      DocsCorpus.tokenized(s, dir), idxDir, shardBits = 7, groups = 2, p = P)
+    val hits = run(idxDir)
+    val bounded = hits.withColumn("score_r", round(col("score"), 4))
+      .select(col("doc_id"), col("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
+    InvertedIndex.rankBounded(bounded, col("doc_id"),
+      col("score_r").desc, col("doc_id").asc)
+  }
+
   // ---- driver contract -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
@@ -120,20 +151,8 @@ object SparkEntry {
     // Bm25Strategy -> Bm25TopKExec) so the custom LogicalPlan/SparkStrategy
     // surface is driver-exercised, not just unit-tested; Bm25PlanSpec proves
     // it bit-identical to Wand.search.
-    "q_bm25_wand_topk" -> ((s, dir) => {
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-wand-q").toString
-      val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
-      val hits = graft.plans.Bm25TopKPlan.search(s, idxDir,
-        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
-      // re-rank on the ROUNDED score so tie order matches the SQL oracle;
-      // orderBy+limit (TakeOrderedAndProject) bounds the rows before the
-      // rank window touches them
-      val bounded = hits.withColumn("score_r", round(col("score"), 4))
-        .select(col("doc_id"), col("score_r"))
-        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
-      InvertedIndex.rankBounded(bounded, col("doc_id"),
-        col("score_r").desc, col("doc_id").asc)
+    "q_bm25_wand_topk" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      graft.plans.Bm25TopKPlan.search(s, idx, contractQueryBatch, k = 200)
     }),
 
     // S9/J7 filtered retrieval on the KERNEL path: same allowlist semantics
@@ -142,64 +161,29 @@ object SparkEntry {
     // broadcast array consulted before full evaluation. Same SQL oracle as
     // the declarative filtered query — proves the kernel path is
     // rank-identical under filtering.
-    "q_bm25_wand_filtered" -> ((s, dir) => {
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-wandf-q").toString
-      val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
-      val allowedIds = DocsCorpus.documents(s, dir)
-        .filter(col("lang") === "en").select(col("doc_id"))
-        .collect().map(_.getLong(0))
-      val hits = graft.query.Wand.search(s, idxDir,
-        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200,
+    "q_bm25_wand_filtered" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      val allowedIds = langDocIds(s, dir, "en")
+      graft.query.Wand.search(s, idx, contractQueryBatch, k = 200,
         allowedDocs = Some(allowedIds))
-      val bounded = hits.withColumn("score_r", round(col("score"), 4))
-        .select(col("doc_id"), col("score_r"))
-        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
-      InvertedIndex.rankBounded(bounded, col("doc_id"),
-        col("score_r").desc, col("doc_id").asc)
     }),
 
     // §2.10 tombstone delete, driver-exercised: build, delete every zh doc,
     // query. Visibility-only semantics — idf/avgdl stay FULL-corpus (stats
     // frozen until compaction, like Lucene pre-merge), deleted docs are
     // excluded. Oracle: full-corpus ctes + NOT-IN candidate restriction.
-    "q_bm25_tombstone_topk" -> ((s, dir) => {
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-tomb-q").toString
-      graft.index.PackedIndex.build(
-        DocsCorpus.tokenized(s, dir), idxDir, shardBits = 7, groups = 2, p = P)
-      val dead = DocsCorpus.documents(s, dir)
-        .filter(col("lang") === "zh").select(col("doc_id"))
-        .collect().map(_.getLong(0))
-      graft.index.PackedIndex.delete(idxDir, dead.toSeq)
-      val hits = graft.query.Wand.search(s, idxDir,
-        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
-      val bounded = hits.withColumn("score_r", round(col("score"), 4))
-        .select(col("doc_id"), col("score_r"))
-        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
-      InvertedIndex.rankBounded(bounded, col("doc_id"),
-        col("score_r").desc, col("doc_id").asc)
+    "q_bm25_tombstone_topk" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      graft.index.PackedIndex.delete(idx, langDocIds(s, dir, "zh").toSeq)
+      graft.query.Wand.search(s, idx, contractQueryBatch, k = 200)
     }),
 
     // §2.10 compaction, driver-exercised: same deletes applied PHYSICALLY —
     // stats/df/eps recomputed over the survivors, ids preserved. Oracle:
     // the whole cte chain recomputed over the filtered corpus.
-    "q_bm25_compacted_topk" -> ((s, dir) => {
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-cptq").toString
-      graft.index.PackedIndex.build(
-        DocsCorpus.tokenized(s, dir), idxDir, shardBits = 7, groups = 2, p = P)
-      val dead = DocsCorpus.documents(s, dir)
-        .filter(col("lang") === "zh").select(col("doc_id"))
-        .collect().map(_.getLong(0))
-      graft.index.PackedIndex.delete(idxDir, dead.toSeq)
+    "q_bm25_compacted_topk" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      graft.index.PackedIndex.delete(idx, langDocIds(s, dir, "zh").toSeq)
       val outDir = java.nio.file.Files.createTempDirectory("graft-cptq-out").toString
-      graft.index.PackedIndex.compact(s, idxDir, outDir)
-      val hits = graft.query.Wand.search(s, outDir,
-        Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200)
-      val bounded = hits.withColumn("score_r", round(col("score"), 4))
-        .select(col("doc_id"), col("score_r"))
-        .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
-      InvertedIndex.rankBounded(bounded, col("doc_id"),
-        col("score_r").desc, col("doc_id").asc)
+      graft.index.PackedIndex.compact(s, idx, outDir)
+      graft.query.Wand.search(s, outDir, contractQueryBatch, k = 200)
     }),
 
     // S6 extraction kernel, oracle-checked: wrap each document's text in a

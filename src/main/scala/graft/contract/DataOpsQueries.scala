@@ -14,6 +14,28 @@ import graft.text.TextAnalysis
   */
 object DataOpsQueries {
 
+  /** Shared contract shape for the dense top-10 queries: query vecs are
+    * vec_id < 5, the corpus is the (optionally pre-filtered) embeddings
+    * table, candidates come from the heap kernel with a k=30 buffer, and
+    * the final rank re-sorts on the ROUNDED cosine so tie order matches
+    * the SQL oracle. One implementation pins both queries to one contract.
+    */
+  private def annContractTopK(s: SparkSession, dir: String,
+                              corpusFilter: DataFrame => DataFrame): DataFrame = {
+    val emb = DocsCorpus.table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = corpusFilter(emb)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val hits = Ann.bruteForceTopK(queries, corpus, k = 30)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    hits.withColumn("cos_r", round(col("cos"), 4))
+      .select(col("query_id"), col("vec_id"), col("cos_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup on normalized-content fingerprint
     "q_dedup_exact" -> ((s, dir) =>
@@ -48,20 +70,8 @@ object DataOpsQueries {
         .select(col("doc_a"), col("doc_b"), col("cos"))),
 
     // brute-force cosine ANN top-k (query vecs = vec_id < 5)
-    "q_ann_cosine_topk" -> ((s, dir) => {
-      val emb = DocsCorpus.table(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val hits = Ann.bruteForceTopK(queries, corpus, k = 30)
-      // re-rank on rounded cosine so tie order matches the SQL oracle
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_r").desc, col("vec_id").asc)
-      hits.withColumn("cos_r", round(col("cos"), 4))
-        .select(col("query_id"), col("vec_id"), col("cos_r"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-    }),
+    "q_ann_cosine_topk" -> ((s, dir) =>
+      annContractTopK(s, dir, corpusFilter = identity)),
 
     // filtered vector search: candidates restricted by a metadata predicate
     // on the documents table (vec_id aligns with doc_id) — the filter is a
@@ -69,20 +79,10 @@ object DataOpsQueries {
     // exact compositional shape a 100 TB filtered-ANN path wants: the
     // corpus still never shuffles and the kernel is unchanged.
     "q_ann_filtered_topk" -> ((s, dir) => {
-      val emb = DocsCorpus.table(s, dir, "embeddings")
       val allowed = DocsCorpus.documents(s, dir)
         .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val corpus = emb.join(allowed, Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding").as("vec"))
-      val hits = Ann.bruteForceTopK(queries, corpus, k = 30)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_r").desc, col("vec_id").asc)
-      hits.withColumn("cos_r", round(col("cos"), 4))
-        .select(col("query_id"), col("vec_id"), col("cos_r"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      annContractTopK(s, dir,
+        corpusFilter = _.join(allowed, Seq("vec_id"), "left_semi"))
     }),
 
     // IVF-style ANN (approximate BY DESIGN, so no exact DuckDB oracle; the

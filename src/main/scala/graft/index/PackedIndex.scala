@@ -374,16 +374,36 @@ object PackedIndex {
     val man = GroupManifest(nextGroup, counters.terms.value,
       counters.postings.value, counters.bytes.value,
       (System.nanoTime() - t0) / 1e6, nNew, newSumDl)
+    // a compacted index carries an id watermark (see committedDocs):
+    // advance it BEFORE the manifest commit — a crash in between makes a
+    // retried append re-offset from the bumped value, costing unused id
+    // HOLES (harmless: ids are already sparse after compaction) but never
+    // id collisions (which would corrupt joins silently)
+    val wm = Paths.get(dir, "watermark.json")
+    if (Files.exists(wm))
+      atomicWrite(wm,
+        s"""{"nextDocId":${readJsonFlat(Files.readString(wm))("nextDocId").toLong + nNew}}""")
     // commit marker LAST: only now does a future append see these docs
     writeManifest(Paths.get(dir, "manifest", s"group-$nextGroup.json"), man)
     man
   }
 
-  /** Docs committed to the index per group manifests — the authoritative
-    * corpus size for docId offsetting and append retries (stats.json may be
-    * mid-commit after a crash; manifests are the commit markers).
+  /** The dense doc-id high-water mark (next free doc id) — the authoritative
+    * value for docId offsetting and append retries. Normally the sum of
+    * manifest docs (stats.json may be mid-commit after a crash; manifests
+    * are the commit markers), but a COMPACTED index carries fewer docs than
+    * its highest surviving id + 1, so compact() persists the original
+    * watermark in watermark.json and it takes precedence: appends after a
+    * compaction must keep allocating ABOVE the old ids (deleted ids are
+    * never reused — a reused id would resurrect under stale external
+    * references).
     */
-  def committedDocs(dir: String): Long = listManifests(dir).map(_.docs).sum
+  def committedDocs(dir: String): Long = {
+    val wm = Paths.get(dir, "watermark.json")
+    if (Files.exists(wm))
+      readJsonFlat(Files.readString(wm))("nextDocId").toLong
+    else listManifests(dir).map(_.docs).sum
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
@@ -479,7 +499,11 @@ object PackedIndex {
     *
     * One decode+repack pass over the postings — the same per-(shard,term)
     * kernel shape as the original pack stage, so the compaction scales
-    * exactly like a build (narrow per-row work, no shuffle).
+    * exactly like a build (narrow per-row work, no shuffle). The original
+    * id watermark is persisted (watermark.json) so later PackedIndex.append
+    * calls on the compacted dir keep allocating above the old range; note
+    * PagesPipeline.appendPages needs the pipeline's docs_raw staging and so
+    * operates on the ORIGINAL lineage dir, not a compacted copy.
     */
   def compact(spark: SparkSession, dir: String, outDir: String,
               io: TableIO = ParquetDirIO): Unit = {
@@ -518,18 +542,26 @@ object PackedIndex {
 
     // pass 2: decode -> drop deleted -> repack with the same codec. The
     // surviving sorted doc array re-blocks exactly as a fresh build would.
+    // Lists whose block [base, maxDoc] ranges touch no tombstone pass
+    // through HEADER-ONLY (no varint decode) — a selective GDPR-style
+    // delete costs work proportional to the affected lists, not the index.
     Files.createDirectories(Paths.get(outDir, "manifest"))
     val blockSize = stats.blockSize
     val t0 = System.nanoTime()
     val repacked = loadPostings(spark, dir, io).mapPartitions { it =>
       val t = bcTomb.value
+      def touched(b: PackedBlock): Boolean = {
+        val i = java.util.Arrays.binarySearch(t, b.base)
+        val from = if (i >= 0) i else -i - 1
+        from < t.length && t(from) <= b.maxDoc
+      }
       it.flatMap { pp =>
-        val blocks = pp.blocks.map(b => Codec.Block(b.base, b.maxDoc, b.count,
-          b.maxTf, b.minDl, b.docs, b.tfs, b.dls))
-        val docs = blocks.flatMap(_.decodeDocIds)
-        val keep = docs.map(d => java.util.Arrays.binarySearch(t, d) < 0)
-        if (keep.forall(identity)) Iterator.single(pp) // untouched list
+        if (!pp.blocks.exists(touched)) Iterator.single(pp) // header-only pass
         else {
+          val blocks = pp.blocks.map(b => Codec.Block(b.base, b.maxDoc, b.count,
+            b.maxTf, b.minDl, b.docs, b.tfs, b.dls))
+          val docs = blocks.flatMap(_.decodeDocIds)
+          val keep = docs.map(d => java.util.Arrays.binarySearch(t, d) < 0)
           val tfs = blocks.flatMap(_.decodeTfs)
           val dls = blocks.flatMap(_.decodeDls)
           val kd = Array.newBuilder[Long]
@@ -561,6 +593,12 @@ object PackedIndex {
     writeStats(outDir, IndexStats(n2, sumDl2.toDouble / n2, avgRawIdf2,
       stats.k1, stats.b, stats.epsilon, stats.shardBits, blockSize),
       dfDir = "df")
+    // the id high-water mark survives compaction: manifest docs is the
+    // SURVIVOR count (feeds stats on later appends), while id allocation
+    // must keep starting above the ORIGINAL range — deleted ids are dead
+    // forever, never recycled (committedDocs() prefers this file)
+    atomicWrite(Paths.get(outDir, "watermark.json"),
+      s"""{"nextDocId":$committed}""")
     writeManifest(Paths.get(outDir, "manifest", "group-0.json"),
       GroupManifest(0, packedMeta.getLong(0), packedMeta.getLong(1), 0L,
         (System.nanoTime() - t0) / 1e6, n2, sumDl2)) // committed LAST
@@ -575,9 +613,16 @@ object PackedIndex {
     * merged sorted set is written to a tmp file and atomically moved over
     * tombstones.txt (readers see either the old or the new complete set).
     * Deleted ids are NOT reusable — append() keeps offsetting from
-    * committedDocs, which tombstones never change.
+    * committedDocs, which tombstones never change. Ids must name docs the
+    * index has actually committed (fail-loudly, matching append's
+    * consistency requires): a tombstone above the watermark would silently
+    * suppress a FUTURE doc born later under that id.
     */
   def delete(dir: String, docIds: Seq[Long]): Unit = {
+    val limit = committedDocs(dir)
+    require(docIds.forall(id => id >= 0 && id < limit),
+      s"delete: doc ids outside the committed [0, $limit) range: " +
+        docIds.filterNot(id => id >= 0 && id < limit).take(5).mkString(","))
     val merged = (loadTombstones(dir) ++ docIds).distinct.sorted
     atomicWrite(Paths.get(dir, "tombstones.txt"), merged.mkString("\n"))
   }

@@ -533,10 +533,11 @@ object Wand {
       // doc instead of crawling the postings one doc at a time. For a
       // selective filter this skips whole blocks via each cursor's maxDoc
       // metadata.
-      val pivotAllowed = allowed == null ||
-        java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0
+      val allowBs =
+        if (allowed == null) 0 else java.util.Arrays.binarySearch(allowed, pivotDoc)
+      val pivotAllowed = allowBs >= 0
       if (!pivotAllowed) {
-        val ins = -java.util.Arrays.binarySearch(allowed, pivotDoc) - 1
+        val ins = -allowBs - 1
         if (ins >= allowed.length) return // allowlist exhausted: done
         val target = allowed(ins)
         var j = 0

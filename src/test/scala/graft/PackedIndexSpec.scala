@@ -224,6 +224,31 @@ class PackedIndexSpec extends SparkSpec {
       assert(got.getOrElse(qid, Seq.empty) == want,
         s"compacted search mismatch for q$qid")
     }
+
+    // the id watermark survives compaction: the compacted index holds fewer
+    // docs than its highest id + 1, yet id allocation must stay above the
+    // ORIGINAL range (watermark.json; a manifest-sum watermark would hand
+    // out id 599-shifted ids that collide with surviving docs)
+    assert(PackedIndex.committedDocs(out) == 600L)
+    PackedIndex.delete(out, Seq(599L)) // highest surviving id is deletable
+    assert(PackedIndex.loadTombstones(out).sameElements(Array(599L)))
+
+    // deleting an id the index never committed fails loudly
+    intercept[IllegalArgumentException] {
+      PackedIndex.delete(dir, Seq(10000L))
+    }
+
+    // append to the compacted index: new ids start ABOVE the watermark and
+    // the watermark advances with the batch
+    val extra: IndexedSeq[Array[String]] =
+      IndexedSeq(Array("t0", "zz1"), Array("zz1", "zz2"))
+    val extraDf = extra.zipWithIndex
+      .map { case (t, i) => (600L + i, t.mkString(" ")) }.toDF("doc_id", "text")
+    PackedIndex.append(InvertedIndex.tokenize(extraDf, "doc_id", "text"), out)
+    assert(PackedIndex.committedDocs(out) == 602L)
+    val zzHits = Wand.search(spark, out, Seq(9L -> "zz1"), 0).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(zzHits == Set(600L, 601L), s"appended docs not searchable: $zzHits")
   }
 
   test("build is resumable: completed groups are skipped, result identical") {
