@@ -99,7 +99,9 @@ object Bench {
     // operator battery on the sf dir (headline subset)
     val headline = Seq("q_bm25_topk", "q_bm25_wand_topk", "q_postings",
       "q_metrics", "q_rrf", "q_dedup_exact", "q_jaccard_pairs", "q_minhash_pairs",
-      "q_simhash", "q_ann_cosine_topk", "q_text_quality", "q_lang_id")
+      "q_simhash", "q_ann_cosine_topk", "q_text_quality", "q_lang_id",
+      "q_bm25_filtered_topk", "q_ann_filtered_topk",
+      "q_bm25_tombstone_topk", "q_bm25_compacted_topk")
     val battery = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
