@@ -126,6 +126,56 @@ object RankMetrics {
     ndcgPerQuery(ranking, qrels, k)
       .agg(coalesce(sum(col("ndcg")), lit(0.0))).first().getDouble(0) / nRanked(ranking)
 
+  /** All five metrics in ONE pass: one labeled join, one running-hits
+    * window, one per-query aggregation, one final mean row — versus
+    * [[summary]]'s five independent jobs that each re-scan and re-join the
+    * ranking. At 100 TB the ranking is read once and shuffled once (on
+    * query_id); the per-metric reference semantics (including the
+    * hit_rate-over-qrels denominator asymmetry and inner-join drops that
+    * contribute 0) are reproduced exactly. Agreement with the five-pass
+    * path is bit-exact on the golden fixture and within the final ulp in
+    * general (the cross-query summation ORDER differs between plans) —
+    * MetricsSpec pins both. The contract query keeps the five-pass path
+    * (its DuckDB oracle is order-sensitive at the last ulp); use this one
+    * for bulk evaluation.
+    */
+  def summaryFused(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val spark = ranking.sparkSession
+    import spark.implicits._
+    val nr = nRanked(ranking).toDouble
+    val nq = nQrels(qrels).toDouble
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQ = labeled(ranking, qrels)
+      .withColumn("cum_hits", sum(col("hit")).over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rank") <= k, col("hit")).otherwise(0)).as("hits_k"),
+        min(when(col("hit") === 1, col("rank"))).as("first_hit"),
+        sum(when(col("hit") === 1 && col("rank") <= k,
+          col("cum_hits").cast("double") / col("rank")).otherwise(0.0)).as("sum_prec"),
+        sum(when(col("rank") <= k,
+          col("hit") / log2(col("rank") + 1)).otherwise(0.0)).as("dcg"),
+        sum(col("hit")).as("total_hits"))
+      .join(posCounts(qrels), Seq("query_id"), "left")
+      .withColumn("idcg",
+        when(col("total_hits") > 0,
+          aggregate(
+            sequence(lit(1), least(col("total_hits"), lit(k))),
+            lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1)))
+          .otherwise(0.0))
+    perQ.agg(
+        (coalesce(sum(when(col("n_pos").isNotNull,
+          col("hits_k").cast("double") / col("n_pos"))), lit(0.0)) / nr).as("recall"),
+        (coalesce(sum(col("hits_k").cast("double") / lit(k)), lit(0.0)) / nq).as("hit_rate"),
+        (coalesce(sum(when(col("first_hit") <= k,
+          lit(1.0) / col("first_hit"))), lit(0.0)) / nr).as("mrr"),
+        (coalesce(sum(when(col("n_pos").isNotNull,
+          col("sum_prec") / least(col("n_pos"), lit(k)))), lit(0.0)) / nr).as("map"),
+        (coalesce(sum(when(col("idcg") > 0,
+          col("dcg") / col("idcg")).otherwise(0.0)), lit(0.0)) / nr).as("ndcg"))
+  }
+
   /** All five metrics in one row (column per metric). */
   def summary(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     val spark = ranking.sparkSession

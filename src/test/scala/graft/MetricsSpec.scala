@@ -58,6 +58,34 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(RankMetrics.hitRateAt(ranking, qrels, 3) - expected) < 1e-4)
   }
 
+  test("summaryFused == five-pass summary (golden fixture + random fixture)") {
+    def check(r: org.apache.spark.sql.DataFrame,
+              q: org.apache.spark.sql.DataFrame, k: Int, ulps: Int): Unit = {
+      val slow = RankMetrics.summary(r, q, k).collect()(0)
+      val fast = RankMetrics.summaryFused(r, q, k).collect()(0)
+      Seq("recall", "hit_rate", "mrr", "map", "ndcg").foreach { m =>
+        val (f, s) = (fast.getAs[Double](m), slow.getAs[Double](m))
+        // cross-query summation ORDER differs between the two plans, so
+        // equality holds to the final ulp, not bitwise in general
+        assert(math.abs(java.lang.Double.doubleToLongBits(f) -
+            java.lang.Double.doubleToLongBits(s)) <= ulps,
+          s"$m: fused $f vs 5-pass $s (> $ulps ulps)")
+      }
+    }
+    check(ranking, qrels, 3, ulps = 0) // golden fixture: bit-exact
+    // random fixture incl. queries with no qrels, qrels with no ranking,
+    // hits beyond k, empty-hit queries
+    val rnd = new scala.util.Random(5)
+    val bigQ = (0 until 200)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(50).toLong))
+      .distinct.toDF("query_id", "doc_id")
+    val bigR = (0 until 30).flatMap { qid =>
+      val docs = rnd.shuffle((0 until 50).toList).take(20)
+      docs.zipWithIndex.map { case (d, i) => (qid.toLong, d.toLong, i + 1) }
+    }.toDF("query_id", "doc_id", "rank")
+    check(bigR, bigQ, 10, ulps = 2)
+  }
+
   test("rrf fusion golden (2 retrievers, hand-computed)") {
     // retr A ranks docs 1,2,3 ; retr B ranks 2,1 ; weights 1.0 / 0.5, k=60
     val in = Seq(
