@@ -75,6 +75,21 @@ object PipelineQueries {
           round(col("ndcg"), 6).as("ndcg_r"))
     }),
 
+    // A5-A9 again through the SINGLE-PASS fused path (one join + one
+    // shuffle for all five metrics — the bulk-evaluation plan). Shares
+    // q_metrics' oracle: the 6-decimal rounding absorbs the last-ulp
+    // cross-query summation-order difference between the two plans.
+    "q_metrics_fused" -> ((s, dir) => {
+      val r = rankingFixture(s, dir)
+      val q = qrels(s, dir)
+      RankMetrics.summaryFused(r, q, K)
+        .select(round(col("recall"), 6).as("recall_r"),
+          round(col("hit_rate"), 6).as("hit_rate_r"),
+          round(col("mrr"), 6).as("mrr_r"),
+          round(col("map"), 6).as("map_r"),
+          round(col("ndcg"), 6).as("ndcg_r"))
+    }),
+
     // J4/A4 RRF fusion of two deterministic retrievers
     "q_rrf" -> ((s, dir) => {
       val docs = DocsCorpus.documents(s, dir)
@@ -112,6 +127,38 @@ object PipelineQueries {
         .select(col("query_id"), col("doc_id"), col("rank")))
   )
 
+  /** The A5-A9 metric battery in SQL — shared verbatim by q_metrics and
+    * q_metrics_fused (same semantics, two engine plans).
+    */
+  private def metricsOracleSql: String =
+    rankingCtes +
+      s""", nr AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ranking),
+         |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM qrels),
+         |rec AS (SELECT l.query_id, CAST(sum(hit) AS DOUBLE) / max(p.n_pos) AS r
+         |        FROM lab l JOIN pos p USING (query_id) WHERE rank <= $K GROUP BY 1),
+         |hr AS (SELECT query_id, CAST(sum(hit) AS DOUBLE) / $K AS h FROM lab WHERE rank <= $K GROUP BY 1),
+         |mrrq AS (SELECT query_id, 1.0 / min(rank) AS rr FROM lab WHERE hit = 1 GROUP BY 1 HAVING min(rank) <= $K),
+         |prec AS (SELECT query_id, rank, hit,
+         |           CAST(sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS DOUBLE) / rank AS p
+         |         FROM lab WHERE rank <= $K),
+         |mapq AS (SELECT prec.query_id, sum(p) / min(least(n_pos, $K)) AS ap
+         |         FROM prec JOIN pos ON prec.query_id = pos.query_id WHERE hit = 1 GROUP BY 1),
+         |dcgs AS (SELECT query_id,
+         |           sum(CASE WHEN rank <= $K THEN CAST(hit AS DOUBLE) / log2(rank + 1) ELSE 0 END) AS dcg,
+         |           CAST(sum(hit) AS BIGINT) AS th
+         |         FROM lab GROUP BY 1),
+         |ndcgq AS (SELECT query_id,
+         |            CASE WHEN th > 0
+         |                 THEN dcg / list_sum(list_transform(range(1, least(th, $K) + 1), i -> 1.0 / log2(i + 1)))
+         |                 ELSE 0.0 END AS nd
+         |          FROM dcgs)
+         |SELECT
+         |  round((SELECT coalesce(sum(r), 0) FROM rec) / (SELECT n FROM nr), 6) + 0.0 AS recall_r,
+         |  round((SELECT coalesce(sum(h), 0) FROM hr) / (SELECT n FROM nq), 6) + 0.0 AS hit_rate_r,
+         |  round((SELECT coalesce(sum(rr), 0) FROM mrrq) / (SELECT n FROM nr), 6) + 0.0 AS mrr_r,
+         |  round((SELECT coalesce(sum(ap), 0) FROM mapq) / (SELECT n FROM nr), 6) + 0.0 AS map_r,
+         |  round((SELECT coalesce(sum(nd), 0) FROM ndcgq) / (SELECT n FROM nr), 6) + 0.0 AS ndcg_r""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ranking" ->
       (rankingCtes + "SELECT query_id, doc_id, rank FROM ranking"),
@@ -119,34 +166,10 @@ object PipelineQueries {
     "q_label_join" ->
       (rankingCtes + "SELECT query_id, doc_id, rank, hit AS label FROM lab"),
 
-    "q_metrics" ->
-      (rankingCtes +
-        s""", nr AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ranking),
-           |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM qrels),
-           |rec AS (SELECT l.query_id, CAST(sum(hit) AS DOUBLE) / max(p.n_pos) AS r
-           |        FROM lab l JOIN pos p USING (query_id) WHERE rank <= $K GROUP BY 1),
-           |hr AS (SELECT query_id, CAST(sum(hit) AS DOUBLE) / $K AS h FROM lab WHERE rank <= $K GROUP BY 1),
-           |mrrq AS (SELECT query_id, 1.0 / min(rank) AS rr FROM lab WHERE hit = 1 GROUP BY 1 HAVING min(rank) <= $K),
-           |prec AS (SELECT query_id, rank, hit,
-           |           CAST(sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS DOUBLE) / rank AS p
-           |         FROM lab WHERE rank <= $K),
-           |mapq AS (SELECT prec.query_id, sum(p) / min(least(n_pos, $K)) AS ap
-           |         FROM prec JOIN pos ON prec.query_id = pos.query_id WHERE hit = 1 GROUP BY 1),
-           |dcgs AS (SELECT query_id,
-           |           sum(CASE WHEN rank <= $K THEN CAST(hit AS DOUBLE) / log2(rank + 1) ELSE 0 END) AS dcg,
-           |           CAST(sum(hit) AS BIGINT) AS th
-           |         FROM lab GROUP BY 1),
-           |ndcgq AS (SELECT query_id,
-           |            CASE WHEN th > 0
-           |                 THEN dcg / list_sum(list_transform(range(1, least(th, $K) + 1), i -> 1.0 / log2(i + 1)))
-           |                 ELSE 0.0 END AS nd
-           |          FROM dcgs)
-           |SELECT
-           |  round((SELECT coalesce(sum(r), 0) FROM rec) / (SELECT n FROM nr), 6) + 0.0 AS recall_r,
-           |  round((SELECT coalesce(sum(h), 0) FROM hr) / (SELECT n FROM nq), 6) + 0.0 AS hit_rate_r,
-           |  round((SELECT coalesce(sum(rr), 0) FROM mrrq) / (SELECT n FROM nr), 6) + 0.0 AS mrr_r,
-           |  round((SELECT coalesce(sum(ap), 0) FROM mapq) / (SELECT n FROM nr), 6) + 0.0 AS map_r,
-           |  round((SELECT coalesce(sum(nd), 0) FROM ndcgq) / (SELECT n FROM nr), 6) + 0.0 AS ndcg_r""".stripMargin),
+    // one oracle, two engine plans: q_metrics (five-pass reference shape)
+    // and q_metrics_fused (single-pass) must both round to these values
+    "q_metrics" -> metricsOracleSql,
+    "q_metrics_fused" -> metricsOracleSql,
 
     "q_rrf" ->
       """WITH base AS (SELECT doc_id, n_chars, CAST(doc_id % 3 AS BIGINT) AS query_id FROM documents),
