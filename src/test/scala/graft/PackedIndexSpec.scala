@@ -251,6 +251,33 @@ class PackedIndexSpec extends SparkSpec {
     assert(zzHits == Set(600L, 601L), s"appended docs not searchable: $zzHits")
   }
 
+  test("compaction is crash-safe: no manifest -> invisible; retry == clean run") {
+    val docs = randomCorpus(nDocs = 300, vocab = 80, seed = 31)
+    val dir = Files.createTempDirectory("graft-cptc").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    PackedIndex.delete(dir, Seq(1L, 7L, 100L))
+    val out = Files.createTempDirectory("graft-cptc-out").toString
+    PackedIndex.compact(spark, dir, out)
+    val clean = Wand.search(spark, out, Seq(1L -> "t0 t1"), 0).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+
+    // simulate a crash BEFORE the manifest commit: readers must fail
+    // loudly (no committed groups), not serve a half-written index
+    val out2 = Files.createTempDirectory("graft-cptc-out2").toString
+    PackedIndex.compact(spark, dir, out2)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out2, "manifest", "group-0.json"))
+    intercept[IllegalArgumentException] {
+      PackedIndex.loadPostings(spark, out2).count()
+    }
+    // retried compaction overwrites every partial artifact with identical
+    // content; the result equals the clean run
+    PackedIndex.compact(spark, dir, out2)
+    val retried = Wand.search(spark, out2, Seq(1L -> "t0 t1"), 0).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(retried == clean)
+  }
+
   test("build is resumable: completed groups are skipped, result identical") {
     val docs = randomCorpus(nDocs = 300, vocab = 80, seed = 3)
     val dir = Files.createTempDirectory("graft-idx-resume").toString
