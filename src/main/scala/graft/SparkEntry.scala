@@ -186,6 +186,15 @@ object SparkEntry {
       graft.query.Wand.search(s, outDir, contractQueryBatch, k = 200)
     }),
 
+    // Phrase search (beyond-reference fulltext surface): conjunctive
+    // candidates from the inverted postings, sliding-window adjacency
+    // verification on the candidates only, top-10 by occurrence count.
+    "q_phrase_topk" -> ((s, dir) => {
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.query.Phrase.topK(tok, InvertedIndex.postings(tok),
+        Seq("table", "scan"), k = 10)
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -321,6 +330,25 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // sliding-window phrase count over candidates holding both terms;
+      // DuckDB arrays are 1-based, range(a,b) is [a,b)
+      "q_phrase_topk" ->
+        (ctes +
+          s""", cand AS (
+             |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan')
+             |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+             |), pc AS (
+             |  SELECT t.doc_id,
+             |         CAST(len(list_filter(range(1, len(terms)),
+             |           i -> terms[i] = 'table' AND terms[i+1] = 'scan')) AS BIGINT) AS phrase_tf
+             |  FROM tok t JOIN cand USING (doc_id)
+             |), ranked AS (
+             |  SELECT doc_id, phrase_tf,
+             |         CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS INT) AS rank
+             |  FROM pc WHERE phrase_tf > 0
+             |)
+             |SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // tombstone semantics: stats full-corpus, deleted docs excluded from
       // candidates only
