@@ -49,6 +49,34 @@ object Phrase {
       .select(col("doc_id"))
   }
 
+  /** Conjunctive candidates straight from a PACKED index dir: the term
+    * IN-filter pushes to the postings parquet, block headers prune nothing
+    * here (all blocks of a matching term decode), but only the phrase
+    * terms' lists are ever read — the production shape for phrase search
+    * against the stored index. Honors tombstones.
+    */
+  def candidatesPacked(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val distinctTerms = phrase.distinct
+    val tomb = graft.index.PackedIndex.loadTombstones(indexDir)
+    val bcTomb = spark.sparkContext.broadcast(tomb)
+    val pairs = graft.index.PackedIndex.loadPostings(spark, indexDir)
+      .filter(col("term").isin(distinctTerms: _*))
+      .flatMap { pp =>
+        val t = bcTomb.value
+        pp.blocks.iterator.flatMap { b =>
+          graft.index.Codec.Block(b.base, b.maxDoc, b.count, b.maxTf,
+            b.minDl, b.docs, b.tfs, b.dls).decodeDocIds.iterator
+        }.filter(d => t.isEmpty ||
+          java.util.Arrays.binarySearch(t, d) < 0).map(d => (d, pp.term))
+      }.toDF("doc_id", "term")
+    pairs.groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === distinctTerms.size)
+      .select(col("doc_id"))
+  }
+
   /** Top-k docs by sliding phrase count. `tokenized` is (doc_id, terms);
     * `postings` is the flat (term, doc_id, tf) table over the same corpus.
     */

@@ -44,6 +44,25 @@ class PhraseSpec extends SparkSpec {
     assert(hits == Seq((3L, 2L, 1), (1L, 1L, 2)))
   }
 
+  test("packed-index candidates == flat-postings candidates; tombstones honored") {
+    val t = tok(
+      0L -> "x table deep scan y",
+      1L -> "x table scan y",
+      2L -> "table only here",
+      3L -> "scan table scan table scan")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase-idx").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 1, groups = 2)
+    val flat = Phrase.candidates(InvertedIndex.postings(t), Seq("table", "scan"))
+      .collect().map(_.getLong(0)).toSet
+    val packed = Phrase.candidatesPacked(spark, dir, Seq("table", "scan"))
+      .collect().map(_.getLong(0)).toSet
+    assert(packed == flat)
+    graft.index.PackedIndex.delete(dir, Seq(3L))
+    val afterDel = Phrase.candidatesPacked(spark, dir, Seq("table", "scan"))
+      .collect().map(_.getLong(0)).toSet
+    assert(afterDel == flat - 3L)
+  }
+
   test("duplicate-term phrase uses distinct terms for candidates") {
     val t = tok(0L -> "go go go", 1L -> "go stop go")
     val post = InvertedIndex.postings(t)
