@@ -15,7 +15,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 final case class PackedBlock(
     base: Long, maxDoc: Long, count: Int, maxTf: Long, minDl: Long,
-    docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
+    docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte]) {
+  /** View as the codec block (single place for the field mapping). */
+  def toCodec: Codec.Block =
+    Codec.Block(base, maxDoc, count, maxTf, minDl, docs, tfs, dls)
+}
 
 final case class PackedPostings(shard: Int, term: String, nPostings: Long,
                                 blocks: Array[PackedBlock])
@@ -531,8 +535,7 @@ object PackedIndex {
               from < t.length && t(from) <= b.maxDoc
             }
             .flatMap { b =>
-              val cb = Codec.Block(b.base, b.maxDoc, b.count, b.maxTf,
-                b.minDl, b.docs, b.tfs, b.dls)
+              val cb = b.toCodec
               cb.decodeDocIds.iterator.zip(cb.decodeDls.iterator)
                 .filter { case (d, _) => java.util.Arrays.binarySearch(t, d) >= 0 }
             }
@@ -558,8 +561,7 @@ object PackedIndex {
       it.flatMap { pp =>
         if (!pp.blocks.exists(touched)) Iterator.single(pp) // header-only pass
         else {
-          val blocks = pp.blocks.map(b => Codec.Block(b.base, b.maxDoc, b.count,
-            b.maxTf, b.minDl, b.docs, b.tfs, b.dls))
+          val blocks = pp.blocks.map(_.toCodec)
           val docs = blocks.flatMap(_.decodeDocIds)
           val keep = docs.map(d => java.util.Arrays.binarySearch(t, d) < 0)
           val tfs = blocks.flatMap(_.decodeTfs)

@@ -140,9 +140,10 @@ object RankMetrics {
     * for bulk evaluation.
     */
   def summaryFused(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
-    val spark = ranking.sparkSession
-    import spark.implicits._
-    val nr = nRanked(ranking).toDouble
+    // nq must count EVERY qrels query (including ones absent from the
+    // ranking, which the join below drops) — a count on the SMALL side
+    // only; the big ranking table is scanned exactly once, below. nr (the
+    // distinct ranked queries) falls out of the fused aggregation for free.
     val nq = nQrels(qrels).toDouble
     val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -165,15 +166,22 @@ object RankMetrics {
             lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1)))
           .otherwise(0.0))
     perQ.agg(
-        (coalesce(sum(when(col("n_pos").isNotNull,
-          col("hits_k").cast("double") / col("n_pos"))), lit(0.0)) / nr).as("recall"),
-        (coalesce(sum(col("hits_k").cast("double") / lit(k)), lit(0.0)) / nq).as("hit_rate"),
-        (coalesce(sum(when(col("first_hit") <= k,
-          lit(1.0) / col("first_hit"))), lit(0.0)) / nr).as("mrr"),
-        (coalesce(sum(when(col("n_pos").isNotNull,
-          col("sum_prec") / least(col("n_pos"), lit(k)))), lit(0.0)) / nr).as("map"),
-        (coalesce(sum(when(col("idcg") > 0,
-          col("dcg") / col("idcg")).otherwise(0.0)), lit(0.0)) / nr).as("ndcg"))
+        coalesce(sum(when(col("n_pos").isNotNull,
+          col("hits_k").cast("double") / col("n_pos"))), lit(0.0)).as("recall_sum"),
+        coalesce(sum(col("hits_k").cast("double") / lit(k)), lit(0.0)).as("hr_sum"),
+        coalesce(sum(when(col("first_hit") <= k,
+          lit(1.0) / col("first_hit"))), lit(0.0)).as("mrr_sum"),
+        coalesce(sum(when(col("n_pos").isNotNull,
+          col("sum_prec") / least(col("n_pos"), lit(k)))), lit(0.0)).as("map_sum"),
+        coalesce(sum(when(col("idcg") > 0,
+          col("dcg") / col("idcg")).otherwise(0.0)), lit(0.0)).as("ndcg_sum"),
+        count(lit(1)).cast("double").as("nr")) // one row per ranked query
+      .select(
+        (col("recall_sum") / col("nr")).as("recall"),
+        (col("hr_sum") / nq).as("hit_rate"),
+        (col("mrr_sum") / col("nr")).as("mrr"),
+        (col("map_sum") / col("nr")).as("map"),
+        (col("ndcg_sum") / col("nr")).as("ndcg"))
   }
 
   /** All five metrics in one row (column per metric). */

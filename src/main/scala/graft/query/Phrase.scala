@@ -65,11 +65,9 @@ object Phrase {
       .filter(col("term").isin(distinctTerms: _*))
       .flatMap { pp =>
         val t = bcTomb.value
-        pp.blocks.iterator.flatMap { b =>
-          graft.index.Codec.Block(b.base, b.maxDoc, b.count, b.maxTf,
-            b.minDl, b.docs, b.tfs, b.dls).decodeDocIds.iterator
-        }.filter(d => t.isEmpty ||
-          java.util.Arrays.binarySearch(t, d) < 0).map(d => (d, pp.term))
+        pp.blocks.iterator.flatMap(_.toCodec.decodeDocIds.iterator)
+          .filter(d => java.util.Arrays.binarySearch(t, d) < 0)
+          .map(d => (d, pp.term))
       }.toDF("doc_id", "term")
     pairs.groupBy(col("doc_id"))
       .agg(countDistinct(col("term")).as("nt"))

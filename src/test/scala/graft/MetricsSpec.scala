@@ -63,12 +63,18 @@ class MetricsSpec extends SparkSpec {
               q: org.apache.spark.sql.DataFrame, k: Int, ulps: Int): Unit = {
       val slow = RankMetrics.summary(r, q, k).collect()(0)
       val fast = RankMetrics.summaryFused(r, q, k).collect()(0)
+      // monotone bits mapping makes the long distance a true ulp count
+      // across signs (raw doubleToLongBits differences are meaningless —
+      // and overflow — when the sign bits differ)
+      def ob(d: Double): BigInt = {
+        val b = java.lang.Double.doubleToLongBits(d)
+        BigInt(b) match { case x if b < 0 => BigInt(Long.MinValue) - x; case x => x }
+      }
       Seq("recall", "hit_rate", "mrr", "map", "ndcg").foreach { m =>
         val (f, s) = (fast.getAs[Double](m), slow.getAs[Double](m))
         // cross-query summation ORDER differs between the two plans, so
         // equality holds to the final ulp, not bitwise in general
-        assert(math.abs(java.lang.Double.doubleToLongBits(f) -
-            java.lang.Double.doubleToLongBits(s)) <= ulps,
+        assert((ob(f) - ob(s)).abs <= ulps,
           s"$m: fused $f vs 5-pass $s (> $ulps ulps)")
       }
     }
