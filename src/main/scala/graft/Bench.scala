@@ -101,7 +101,8 @@ object Bench {
       "q_metrics", "q_rrf", "q_dedup_exact", "q_jaccard_pairs", "q_minhash_pairs",
       "q_simhash", "q_ann_cosine_topk", "q_text_quality", "q_lang_id",
       "q_bm25_filtered_topk", "q_ann_filtered_topk",
-      "q_bm25_tombstone_topk", "q_bm25_compacted_topk")
+      "q_bm25_tombstone_topk", "q_bm25_compacted_topk",
+      "q_phrase_topk", "q_metrics_fused")
     val battery = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
