@@ -172,6 +172,30 @@ class AppendSpec extends SparkSpec {
     assert(post.exists(_ >= 300L), "appended docs not searchable")
   }
 
+  test("allowlist and tombstones compose: hits = allowed AND live") {
+    val dir = Files.createTempDirectory("graft-del-allow").toString
+    PagesPipeline.buildIndex(
+      PagesGen.pages(spark, 300, partitions = 4).toDF(), dir,
+      shardBits = 6, groups = 2)
+    val queries = Seq(1L -> "the w3 w17", 2L -> "w100 w2000")
+    val base = Wand.search(spark, dir, queries, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val dead = base.map(_._2).distinct.take(5)
+    graft.index.PackedIndex.delete(dir, dead)
+    // allowlist deliberately OVERLAPS the deleted set
+    val allowed = (base.map(_._2).distinct.take(10) ++ dead).distinct.toArray
+
+    val got = Wand.search(spark, dir, queries, 0, Some(allowed)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allowedSet = allowed.toSet
+    val deadSet = dead.toSet
+    val want = base.filter(h =>
+      allowedSet.contains(h._2) && !deadSet.contains(h._2)).toSet
+    assert(got == want, s"allow+tombstone composition broke: got=$got want=$want")
+    assert(want.nonEmpty, "fixture degenerate: empty expectation")
+  }
+
   test("salted count equals plain groupBy count under heavy skew") {
     val df = (Seq.fill(5000)("hot") ++ (0 until 500).map(i => s"cold$i"))
       .toDF("k")

@@ -63,6 +63,27 @@ class PhraseSpec extends SparkSpec {
     assert(afterDel == flat - 3L)
   }
 
+  test("phraseCount == plain sliding count on random docs (property)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Array("a", "b", "c", "d")
+    val docs = (0 until 60).map { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val t = tok(docs: _*)
+    for (phrase <- Seq(Seq("a"), Seq("a", "b"), Seq("b", "b"), Seq("a", "b", "a"))) {
+      val got = t.select(col("doc_id"),
+          Phrase.phraseCount(col("terms"), phrase).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val want = (0 to toks.length - phrase.length)
+          .count(i => phrase.indices.forall(j => toks(i + j) == phrase(j)))
+        assert(got(id) == want.toLong,
+          s"doc $id '$text' phrase $phrase: got ${got(id)} want $want")
+      }
+    }
+  }
+
   test("duplicate-term phrase uses distinct terms for candidates") {
     val t = tok(0L -> "go go go", 1L -> "go stop go")
     val post = InvertedIndex.postings(t)
