@@ -84,6 +84,18 @@ class PlanHygieneSpec extends SparkSpec {
       s"semi-join not below the aggregate (agg@$aggIdx, semi@$semiIdx)")
   }
 
+  test("phrase top-k: bounded TakeOrdered, semi-join verify over candidates") {
+    val qe = SparkEntry.queries("q_phrase_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // verify-then-rank over CANDIDATES only: the conjunctive candidate
+    // aggregation must feed a LeftSemi that gates the token arrays — a
+    // plan that counts phrases over the whole corpus and filters later
+    // would scan every doc's tokens at 100 TB
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+  }
+
   test("q_bm25_wand_topk runs through the strategy-planned Bm25TopKExec") {
     val df = SparkEntry.queries("q_bm25_wand_topk")(spark, "/root/testdata/sf0.001")
     df.collect() // execute so AQE finalizes
