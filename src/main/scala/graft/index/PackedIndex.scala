@@ -3,8 +3,7 @@ package graft.index
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Bm25Params
-import graft.io.{ParquetDirIO, TableIO}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.io.{LocalMetaIO, MetaIO, ParquetDirIO, TableIO}
 
 /** Persisted packed posting-list row: all blocks of one term within one
   * doc-shard. Doc-partitioned (shard = doc_id >> shardBits) so a WAND task
@@ -49,6 +48,14 @@ final case class IndexStats(
   *                            the LIVE dir is named by stats.json's `dfDir`
   *   stats.json                          IndexStats + dfDir pointer
   *   manifest/group-G.json               per-group build checkpoint + metrics
+  *   tombstones.txt                      sorted deleted-but-unpurged ids
+  *   watermark.json / holes.txt          (compacted dirs) original id
+  *                                       high-water mark + dead-id ledger
+  *
+  * All sidecars go through [[graft.io.MetaIO]]; tables through
+  * [[graft.io.TableIO]] — no direct driver-local filesystem access, so a
+  * cluster deployment swaps the two IO implementations and nothing here
+  * changes.
   *
   * Resumability (north rule): the build runs group by group; groups are
   * CONTIGUOUS shard ranges (shard = doc_id >> shardBits), so each group's
@@ -190,27 +197,29 @@ object PackedIndex {
             p: Bm25Params = Bm25Params(),
             blockSize: Int = Codec.DefaultBlockSize,
             io: TableIO = ParquetDirIO,
-            stageInput: Boolean = true): Seq[GroupManifest] = {
+            stageInput: Boolean = true,
+            meta: MetaIO = LocalMetaIO): Seq[GroupManifest] = {
     val spark = tokenizedIn.sparkSession
-    Files.createDirectories(Paths.get(dir, "manifest"))
+    meta.mkdirs(s"$dir/manifest")
     if (!stageInput)
-      return buildFrom(tokenizedIn, dir, shardBits, groups, p, blockSize, io)
+      return buildFrom(tokenizedIn, dir, shardBits, groups, p, blockSize, io, meta)
     // The tokenized frame feeds stats AND every group job, and upstream it
     // usually contains the expensive extraction kernel. It is STAGED to
     // parquet once (a real checkpoint: resume skips straight past
     // extraction) and every consumer scans the cheap columnar artifact.
     // Runtime caching (persist) was measured pathological under many-core
     // local mode (MemoryStore churn) and is less resumable anyway.
-    val docsPath = Paths.get(dir, "docs").toString
+    val docsPath = s"$dir/docs"
     if (!io.committed(docsPath)) io.write(tokenizedIn, docsPath)
     val tokenized = io.read(spark, docsPath)
-    buildFrom(tokenized, dir, shardBits, groups, p, blockSize, io)
+    buildFrom(tokenized, dir, shardBits, groups, p, blockSize, io, meta)
   }
 
   private def buildFrom(tokenized: DataFrame, dir: String,
                         shardBits: Int, groups: Int,
                         p: Bm25Params,
-                        blockSize: Int, io: TableIO): Seq[GroupManifest] = {
+                        blockSize: Int, io: TableIO,
+                        meta: MetaIO): Seq[GroupManifest] = {
     val spark = tokenized.sparkSession
 
     // stage 1: ONE column-pruned pass computing per-shard (docs, sumDl) —
@@ -241,8 +250,8 @@ object PackedIndex {
     // so crash/resume granularity is unchanged.
     val packStats = IndexStats(0L, 0.0, 0.0, p.k1, p.b, p.epsilon, shardBits, blockSize)
     def buildGroup(g: Int): GroupManifest = {
-      val manifestPath = Paths.get(dir, "manifest", s"group-$g.json")
-      if (Files.exists(manifestPath)) readManifest(manifestPath) // resume: skip
+      val manifestPath = s"$dir/manifest/group-$g.json"
+      if (meta.exists(manifestPath)) readManifest(manifestPath, meta) // resume: skip
       else {
         val t0 = System.nanoTime()
         val counters = new PackCounters(spark)
@@ -261,7 +270,7 @@ object PackedIndex {
         val (gDocs, gSumDl) = groupTotals.getOrElse(g, (0L, 0L))
         val man = GroupManifest(g, counters.terms.value, counters.postings.value,
           counters.bytes.value, (System.nanoTime() - t0) / 1e6, gDocs, gSumDl)
-        writeManifest(manifestPath, man) // committed LAST -> crash-safe
+        writeManifest(manifestPath, man, meta) // committed LAST -> crash-safe
         man
       }
     }
@@ -283,7 +292,7 @@ object PackedIndex {
     // deterministic epsilon floor; stats.json is the completion marker.
     // n/avgdl come from the manifests (exact Long sums), never from a
     // possibly-stale stats.json.
-    if (!Files.exists(Paths.get(dir, "stats.json"))) {
+    if (!meta.exists(s"$dir/stats.json")) {
       val n = manifests.map(_.docs).sum
       // n == 0 would make avgdl 0/0 = NaN — invalid JSON that poisons every
       // downstream BM25 division silently. An empty corpus is a caller bug.
@@ -294,7 +303,7 @@ object PackedIndex {
       val avgRawIdf =
         InvertedIndex.avgRawIdf(io.read(spark, s"$dir/df"), n)
       writeStats(dir, IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon,
-        shardBits, blockSize), dfDir = "df")
+        shardBits, blockSize), dfDir = "df", meta)
     }
     manifests
   }
@@ -323,10 +332,11 @@ object PackedIndex {
     *                     [[graft.corpus.PagesPipeline.appendPages]]).
     */
   def append(newTokenized: DataFrame, dir: String,
-             io: TableIO = ParquetDirIO): GroupManifest = {
+             io: TableIO = ParquetDirIO,
+             meta: MetaIO = LocalMetaIO): GroupManifest = {
     val spark = newTokenized.sparkSession
-    val old = readStats(dir)
-    val manifests = listManifests(dir)
+    val old = readStats(dir, meta)
+    val manifests = listManifests(dir, meta)
     // pre-append totals from committed manifests only (idempotent on retry)
     val oldN = manifests.map(_.docs).sum
     val oldSumDl = manifests.map(_.sumDl).sum
@@ -348,11 +358,11 @@ object PackedIndex {
     // GC df dirs superseded by earlier appends (the CURRENT live dir is
     // never touched; the one superseded by THIS append survives until the
     // next one, giving in-flight readers a full append-cycle of grace)
-    val live = readDfDir(dir)
-    new java.io.File(dir).listFiles().iterator
-      .filter(f => f.isDirectory && f.getName != live &&
-        (f.getName == "df" || f.getName.startsWith("df-g")))
-      .foreach(deleteRecursively)
+    val live = readDfDir(dir, meta)
+    meta.list(dir).iterator
+      .filter(name => name != live &&
+        (name == "df" || name.startsWith("df-g")) && !name.endsWith(".tmp"))
+      .foreach(name => meta.deleteRecursively(s"$dir/$name"))
     val n = oldN + nNew
     require(n > 0, s"append: index at $dir would still hold 0 docs")
     val avgdl = (oldSumDl + newSumDl).toDouble / n
@@ -373,7 +383,7 @@ object PackedIndex {
       .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$dir/$newDfDir")
     val avgRawIdf = InvertedIndex.avgRawIdf(io.read(spark, s"$dir/$newDfDir"), n)
     writeStats(dir, IndexStats(n, avgdl, avgRawIdf, old.k1, old.b, old.epsilon,
-      old.shardBits, old.blockSize), dfDir = newDfDir)
+      old.shardBits, old.blockSize), dfDir = newDfDir, meta)
 
     val man = GroupManifest(nextGroup, counters.terms.value,
       counters.postings.value, counters.bytes.value,
@@ -383,12 +393,12 @@ object PackedIndex {
     // retried append re-offset from the bumped value, costing unused id
     // HOLES (harmless: ids are already sparse after compaction) but never
     // id collisions (which would corrupt joins silently)
-    val wm = Paths.get(dir, "watermark.json")
-    if (Files.exists(wm))
-      atomicWrite(wm,
-        s"""{"nextDocId":${readJsonFlat(Files.readString(wm))("nextDocId").toLong + nNew}}""")
+    val wm = s"$dir/watermark.json"
+    if (meta.exists(wm))
+      meta.writeAtomic(wm,
+        s"""{"nextDocId":${readJsonFlat(meta.readString(wm))("nextDocId").toLong + nNew}}""")
     // commit marker LAST: only now does a future append see these docs
-    writeManifest(Paths.get(dir, "manifest", s"group-$nextGroup.json"), man)
+    writeManifest(s"$dir/manifest/group-$nextGroup.json", man, meta)
     man
   }
 
@@ -402,22 +412,18 @@ object PackedIndex {
     * never reused — a reused id would resurrect under stale external
     * references).
     */
-  def committedDocs(dir: String): Long = {
-    val wm = Paths.get(dir, "watermark.json")
-    if (Files.exists(wm))
-      readJsonFlat(Files.readString(wm))("nextDocId").toLong
-    else listManifests(dir).map(_.docs).sum
+  def committedDocs(dir: String, meta: MetaIO = LocalMetaIO): Long = {
+    val wm = s"$dir/watermark.json"
+    if (meta.exists(wm))
+      readJsonFlat(meta.readString(wm))("nextDocId").toLong
+    else listManifests(dir, meta).map(_.docs).sum
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
-    f.delete()
-  }
-
-  private def listManifests(dir: String): Seq[GroupManifest] =
-    new java.io.File(s"$dir/manifest").listFiles().iterator.collect {
-      case f if f.getName.startsWith("group-") && f.getName.endsWith(".json") =>
-        readManifest(f.toPath)
+  private def listManifests(dir: String,
+                            meta: MetaIO = LocalMetaIO): Seq[GroupManifest] =
+    meta.list(s"$dir/manifest").iterator.collect {
+      case name if name.startsWith("group-") && name.endsWith(".json") =>
+        readManifest(s"$dir/manifest/$name", meta)
     }.toSeq.sortBy(_.group)
 
   /** Read the packed postings of COMMITTED groups only. Groups are
@@ -429,10 +435,11 @@ object PackedIndex {
     * build/append commit unit), so the union is shallow.
     */
   def loadPostings(spark: SparkSession, dir: String,
-                   io: TableIO = ParquetDirIO): Dataset[PackedPostings] = {
+                   io: TableIO = ParquetDirIO,
+                   meta: MetaIO = LocalMetaIO): Dataset[PackedPostings] = {
     import spark.implicits._
     val cols = Seq("shard", "term", "nPostings", "blocks")
-    val committed = listManifests(dir).map(_.group)
+    val committed = listManifests(dir, meta).map(_.group)
     require(committed.nonEmpty, s"loadPostings: no committed groups at $dir")
     committed.iterator
       .map(g => io.read(spark, s"$dir/postings/grp=$g").selectExpr(cols: _*))
@@ -444,8 +451,9 @@ object PackedIndex {
     * versioned dirs and flip the pointer atomically with the stats).
     */
   def loadDf(spark: SparkSession, dir: String,
-             io: TableIO = ParquetDirIO): DataFrame =
-    io.read(spark, s"$dir/${readDfDir(dir)}")
+             io: TableIO = ParquetDirIO,
+             meta: MetaIO = LocalMetaIO): DataFrame =
+    io.read(spark, s"$dir/${readDfDir(dir, meta)}")
 
   // ---- tiny JSON sidecars ---------------------------------------------
 
@@ -453,27 +461,29 @@ object PackedIndex {
                                  bytes: Long, wallMs: Double,
                                  docs: Long, sumDl: Long)
 
-  def writeStats(dir: String, s: IndexStats, dfDir: String): Unit =
-    atomicWrite(Paths.get(dir, "stats.json"),
+  def writeStats(dir: String, s: IndexStats, dfDir: String,
+                 meta: MetaIO = LocalMetaIO): Unit =
+    meta.writeAtomic(s"$dir/stats.json",
       s"""{"n":${s.n},"avgdl":${s.avgdl},"avgRawIdf":${s.avgRawIdf},"k1":${s.k1},"b":${s.b},"epsilon":${s.epsilon},"shardBits":${s.shardBits},"blockSize":${s.blockSize},"dfDir":"$dfDir"}""")
 
-  def readStats(dir: String): IndexStats = {
-    val m = readJsonFlat(Files.readString(Paths.get(dir, "stats.json")))
+  def readStats(dir: String, meta: MetaIO = LocalMetaIO): IndexStats = {
+    val m = readJsonFlat(meta.readString(s"$dir/stats.json"))
     IndexStats(m("n").toLong, m("avgdl").toDouble, m("avgRawIdf").toDouble,
       m("k1").toDouble, m("b").toDouble, m("epsilon").toDouble,
       m("shardBits").toDouble.toInt, m("blockSize").toDouble.toInt)
   }
 
-  def readDfDir(dir: String): String =
-    readJsonFlat(Files.readString(Paths.get(dir, "stats.json")))
+  def readDfDir(dir: String, meta: MetaIO = LocalMetaIO): String =
+    readJsonFlat(meta.readString(s"$dir/stats.json"))
       .getOrElse("dfDir", "df").stripPrefix("\"").stripSuffix("\"")
 
-  private def writeManifest(path: java.nio.file.Path, m: GroupManifest): Unit =
-    atomicWrite(path,
+  private def writeManifest(path: String, m: GroupManifest,
+                            meta: MetaIO): Unit =
+    meta.writeAtomic(path,
       s"""{"group":${m.group},"terms":${m.terms},"postings":${m.postings},"bytes":${m.bytes},"wallMs":${m.wallMs},"docs":${m.docs},"sumDl":${m.sumDl}}""")
 
-  private def readManifest(path: java.nio.file.Path): GroupManifest = {
-    val m = readJsonFlat(Files.readString(path))
+  private def readManifest(path: String, meta: MetaIO): GroupManifest = {
+    val m = readJsonFlat(meta.readString(path))
     // docs/sumDl are the authoritative corpus totals (n, avgdl, docId
     // offsets all derive from their sums). A manifest lacking them is a
     // pre-upgrade format: silently defaulting to 0 would make a resumed
@@ -496,10 +506,13 @@ object PackedIndex {
     * are bit-identical to a fresh build over the surviving corpus. The old
     * index is untouched; the caller swaps dirs when ready.
     *
-    * Stats are exact: n' = n - |tombstones| (ids are required to lie in the
-    * index's dense [0, committedDocs) range), sumDl' = sumDl - Σ dl(deleted)
-    * with the deleted dls read from the postings themselves (block-range
-    * pruned; a deleted doc with no postings is an empty doc whose dl is 0).
+    * Stats are exact: n' = Σ manifest.docs - |live tombstones| (manifests are
+    * the commit markers, so a crashed append's stats.json can't skew the
+    * count; tombstones naming docs a previous compaction already removed —
+    * holes — are excluded from the arithmetic), sumDl' = sumDl - Σ
+    * dl(deleted) with the deleted dls read from the postings themselves
+    * (block-range pruned; a deleted doc with no postings is an empty doc
+    * whose dl is 0).
     *
     * One decode+repack pass over the postings — the same per-(shard,term)
     * kernel shape as the original pack stage, so the compaction scales
@@ -510,20 +523,36 @@ object PackedIndex {
     * operates on the ORIGINAL lineage dir, not a compacted copy.
     */
   def compact(spark: SparkSession, dir: String, outDir: String,
-              io: TableIO = ParquetDirIO): Unit = {
+              io: TableIO = ParquetDirIO,
+              meta: MetaIO = LocalMetaIO): Unit = {
     import spark.implicits._
-    val tomb = loadTombstones(dir)
-    require(tomb.nonEmpty, s"compact: no tombstones at $dir")
-    val stats = readStats(dir)
-    val committed = committedDocs(dir)
+    val stats = readStats(dir, meta)
+    val committed = committedDocs(dir, meta)
+    // LIVE tombstones only: ids of docs a PREVIOUS compaction already
+    // removed (holes) must not be subtracted again — delete() filters them
+    // on entry, but an externally-edited tombstones.txt (or a pre-holes-file
+    // tombstone set) could still name dead docs, and subtracting a
+    // nonexistent doc would silently skew n/avgdl/idf for every query on
+    // the compacted index. Intersecting against the persisted hole set here
+    // makes the stat arithmetic correct regardless of how the tombstones
+    // were produced.
+    val holes = loadHoles(dir, meta)
+    val tomb = loadTombstones(dir, meta)
+      .filter(id => java.util.Arrays.binarySearch(holes, id) < 0)
+    require(tomb.nonEmpty, s"compact: no live tombstones at $dir")
     require(tomb.forall(id => id >= 0 && id < committed),
       s"compact: tombstoned ids outside the dense [0, $committed) doc range")
-    val n2 = stats.n - tomb.length
-    require(n2 > 0, s"compact: all $committed docs deleted — delete the index instead")
+    // pre-compaction doc count from the group manifests — the same
+    // crash-safety sourcing append() uses. stats.json is written BEFORE the
+    // manifest in the append protocol, so after a crashed append it counts
+    // docs the postings scan below will never see.
+    val preN = listManifests(dir, meta).map(_.docs).sum
+    val n2 = preN - tomb.length
+    require(n2 > 0, s"compact: all $preN docs deleted — delete the index instead")
 
     // pass 1 (block-range pruned): dl of every deleted doc that has postings
     val bcTomb = spark.sparkContext.broadcast(tomb)
-    val deletedDl: Map[Long, Long] = loadPostings(spark, dir, io)
+    val deletedDl: Map[Long, Long] = loadPostings(spark, dir, io, meta)
       .mapPartitions { it =>
         val t = bcTomb.value
         it.flatMap { pp =>
@@ -541,17 +570,17 @@ object PackedIndex {
             }
         }
       }.distinct().collect().toMap
-    val sumDl2 = listManifests(dir).map(_.sumDl).sum - deletedDl.values.sum
+    val sumDl2 = listManifests(dir, meta).map(_.sumDl).sum - deletedDl.values.sum
 
     // pass 2: decode -> drop deleted -> repack with the same codec. The
     // surviving sorted doc array re-blocks exactly as a fresh build would.
     // Lists whose block [base, maxDoc] ranges touch no tombstone pass
     // through HEADER-ONLY (no varint decode) — a selective GDPR-style
     // delete costs work proportional to the affected lists, not the index.
-    Files.createDirectories(Paths.get(outDir, "manifest"))
+    meta.mkdirs(s"$outDir/manifest")
     val blockSize = stats.blockSize
     val t0 = System.nanoTime()
-    val repacked = loadPostings(spark, dir, io).mapPartitions { it =>
+    val repacked = loadPostings(spark, dir, io, meta).mapPartitions { it =>
       val t = bcTomb.value
       def touched(b: PackedBlock): Boolean = {
         val i = java.util.Arrays.binarySearch(t, b.base)
@@ -594,16 +623,20 @@ object PackedIndex {
     val avgRawIdf2 = InvertedIndex.avgRawIdf(io.read(spark, s"$outDir/df"), n2)
     writeStats(outDir, IndexStats(n2, sumDl2.toDouble / n2, avgRawIdf2,
       stats.k1, stats.b, stats.epsilon, stats.shardBits, blockSize),
-      dfDir = "df")
+      dfDir = "df", meta)
     // the id high-water mark survives compaction: manifest docs is the
     // SURVIVOR count (feeds stats on later appends), while id allocation
     // must keep starting above the ORIGINAL range — deleted ids are dead
     // forever, never recycled (committedDocs() prefers this file)
-    atomicWrite(Paths.get(outDir, "watermark.json"),
-      s"""{"nextDocId":$committed}""")
-    writeManifest(Paths.get(outDir, "manifest", "group-0.json"),
+    meta.writeAtomic(s"$outDir/watermark.json", s"""{"nextDocId":$committed}""")
+    // dead-id ledger: prior holes plus the ids THIS compaction removed.
+    // delete()/compact() consult it so a re-issued delete of an already
+    // erased doc is a no-op instead of corrupting the stat arithmetic.
+    meta.writeAtomic(s"$outDir/holes.txt",
+      (holes ++ tomb).distinct.sorted.mkString("\n"))
+    writeManifest(s"$outDir/manifest/group-0.json",
       GroupManifest(0, packedMeta.getLong(0), packedMeta.getLong(1), 0L,
-        (System.nanoTime() - t0) / 1e6, n2, sumDl2)) // committed LAST
+        (System.nanoTime() - t0) / 1e6, n2, sumDl2), meta) // committed LAST
   }
 
   /** Visibility-only delete (Lucene-style tombstones): marks doc ids as
@@ -618,24 +651,59 @@ object PackedIndex {
     * committedDocs, which tombstones never change. Ids must name docs the
     * index has actually committed (fail-loudly, matching append's
     * consistency requires): a tombstone above the watermark would silently
-    * suppress a FUTURE doc born later under that id.
+    * suppress a FUTURE doc born later under that id. Ids of docs a past
+    * compaction already removed (holes) are dropped as no-ops — the doc is
+    * already physically erased. The merged set is bounded by
+    * `maxTombstones` (see [[MaxTombstones]]); past it the delete fails with
+    * the remedy rather than degrading every query's broadcast.
     */
-  def delete(dir: String, docIds: Seq[Long]): Unit = {
-    val limit = committedDocs(dir)
+  /** Tombstone-set ceiling: every query broadcasts the full sorted id array
+    * (one binary search per candidate doc in the WAND loop), so the set must
+    * stay broadcast-sized. 1M ids = 8 MB on the wire — comfortably under
+    * Spark's broadcast sweet spot, far above any selective (GDPR-style)
+    * delete volume. A delete that would push past the bound fails loudly
+    * with the remedy (compact, which empties the set) rather than degrading
+    * every future query; mass deletes should be a filtered rebuild anyway.
+    */
+  val MaxTombstones: Int = 1 << 20
+
+  def delete(dir: String, docIds: Seq[Long],
+             maxTombstones: Int = MaxTombstones,
+             meta: MetaIO = LocalMetaIO): Unit = {
+    val limit = committedDocs(dir, meta)
     require(docIds.forall(id => id >= 0 && id < limit),
       s"delete: doc ids outside the committed [0, $limit) range: " +
         docIds.filterNot(id => id >= 0 && id < limit).take(5).mkString(","))
-    val merged = (loadTombstones(dir) ++ docIds).distinct.sorted
-    atomicWrite(Paths.get(dir, "tombstones.txt"), merged.mkString("\n"))
+    // liveness, not just range: after a compaction the [0, watermark) range
+    // contains HOLES — ids of docs already physically removed. Deleting one
+    // again (a re-issued GDPR erasure) is a no-op on an already-erased doc;
+    // silently letting it into the tombstone set would make the NEXT
+    // compact() subtract a nonexistent doc from n/sumDl.
+    val holes = loadHoles(dir, meta)
+    val liveIds =
+      docIds.filter(id => java.util.Arrays.binarySearch(holes, id) < 0)
+    val merged = (loadTombstones(dir, meta) ++ liveIds).distinct.sorted
+    require(merged.length <= maxTombstones,
+      s"delete: tombstone set would reach ${merged.length} ids " +
+        s"(bound $maxTombstones) — run compact() to apply them physically " +
+        "(or rebuild over a filtered corpus for mass deletes)")
+    meta.writeAtomic(s"$dir/tombstones.txt", merged.mkString("\n"))
   }
 
   /** Sorted tombstoned doc ids; empty when no delete has ever run. */
-  def loadTombstones(dir: String): Array[Long] = {
-    val p = Paths.get(dir, "tombstones.txt")
-    if (!Files.exists(p)) Array.empty[Long]
-    else Files.readString(p).split("\n").iterator
+  def loadTombstones(dir: String, meta: MetaIO = LocalMetaIO): Array[Long] =
+    readIdFile(s"$dir/tombstones.txt", meta)
+
+  /** Sorted dead doc ids physically removed by past compactions (holes in
+    * the dense id range); empty for a never-compacted index.
+    */
+  def loadHoles(dir: String, meta: MetaIO = LocalMetaIO): Array[Long] =
+    readIdFile(s"$dir/holes.txt", meta)
+
+  private def readIdFile(path: String, meta: MetaIO): Array[Long] =
+    if (!meta.exists(path)) Array.empty[Long]
+    else meta.readString(path).split("\n").iterator
       .map(_.trim).filter(_.nonEmpty).map(_.toLong).toArray
-  }
 
   /** Parse a flat one-level JSON object of numbers (no strings/nesting). */
   private def readJsonFlat(s: String): Map[String, String] =
@@ -643,11 +711,4 @@ object PackedIndex {
       val Array(k, v) = kv.split(":", 2)
       k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim
     }.toMap
-
-  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
 }

@@ -1,0 +1,94 @@
+package graft.io
+
+/** Storage boundary for the engine's SMALL metadata sidecars — stats.json,
+  * group manifests, tombstones, watermark, staging probes. The table-shaped
+  * artifacts (postings, df, staged docs) go through [[TableIO]]; everything
+  * else the index reads or writes outside Spark goes through this trait, so
+  * a cluster deployment swaps ONE pair of implementations (e.g. Hadoop
+  * FileSystem-backed) and no driver-local `java.nio` assumption survives in
+  * index/ or query/ code.
+  *
+  * Contract notes:
+  *  - `writeAtomic` must publish all-or-nothing: a concurrent reader sees
+  *    either the previous content or the new complete content, never a
+  *    partial file (the commit-marker protocol in PackedIndex depends on
+  *    this; on object stores, a single PUT provides it natively).
+  *  - `version` is a cache-invalidation token that changes whenever the
+  *    file's content may have changed (mtime+size locally; ETag-like on
+  *    object stores). Used by query-side stats caches, never for ordering.
+  */
+trait MetaIO extends Serializable {
+
+  def readString(path: String): String
+
+  /** All-or-nothing publish of a small text file (see trait docs). */
+  def writeAtomic(path: String, content: String): Unit
+
+  def exists(path: String): Boolean
+
+  /** Names (not paths) of entries directly under `dir`; empty when the
+    * directory is absent.
+    */
+  def list(dir: String): Seq[String]
+
+  def mkdirs(dir: String): Unit
+
+  def deleteRecursively(path: String): Unit
+
+  /** A fresh empty scratch directory visible to the whole cluster under the
+    * deployment's shared scratch root (driver-local tmp in local mode).
+    */
+  def createTempDir(prefix: String): String
+
+  /** Change-detection token for `path` (see trait docs); any stable value
+    * for a missing path.
+    */
+  def version(path: String): Long
+}
+
+/** Driver-local POSIX implementation (the single-JVM / local-FS contract
+  * this sandbox runs; NFS-style shared mounts also satisfy it).
+  */
+object LocalMetaIO extends MetaIO {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  override def readString(path: String): String =
+    Files.readString(Paths.get(path))
+
+  override def writeAtomic(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def exists(path: String): Boolean =
+    Files.exists(Paths.get(path))
+
+  override def list(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    val names = f.list()
+    if (names == null) Nil else names.toSeq
+  }
+
+  override def mkdirs(dir: String): Unit =
+    Files.createDirectories(Paths.get(dir))
+
+  override def deleteRecursively(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
+
+  override def createTempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  override def version(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) -1L
+    else Files.getLastModifiedTime(p).toMillis ^ (Files.size(p) << 20)
+  }
+}

@@ -53,8 +53,10 @@ object Wand {
     * idf from IndexStats. Driver-side work is O(|distinct query terms|).
     */
   def prepare(spark: SparkSession, indexDir: String,
-              queries: Seq[(Long, String)]): (IndexStats, Seq[PreparedQuery]) = {
-    val stats = PackedIndex.readStats(indexDir)
+              queries: Seq[(Long, String)],
+              meta: graft.io.MetaIO = graft.io.LocalMetaIO)
+      : (IndexStats, Seq[PreparedQuery]) = {
+    val stats = PackedIndex.readStats(indexDir, meta)
     val tokenized = queries.map { case (id, text) =>
       id -> graft.tokenize.PyTokenize.split(text)
     }
@@ -62,7 +64,7 @@ object Wand {
     val dfMap: Map[String, Long] =
       if (allTerms.isEmpty) Map.empty
       else {
-        val dfTable = PackedIndex.loadDf(spark, indexDir)
+        val dfTable = PackedIndex.loadDf(spark, indexDir, meta = meta)
         val restricted =
           if (allTerms.size <= IsinThreshold)
             dfTable.filter(col("term").isin(allTerms: _*))
@@ -99,8 +101,9 @@ object Wand {
     */
   def search(spark: SparkSession, indexDir: String,
              queries: Seq[(Long, String)], k: Int,
-             allowedDocs: Option[Array[Long]] = None): DataFrame = {
-    val (stats, prepared) = prepare(spark, indexDir, queries)
+             allowedDocs: Option[Array[Long]] = None,
+             meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
+    val (stats, prepared) = prepare(spark, indexDir, queries, meta)
     val terms = prepared.flatMap(_.idf.keys).distinct
     import spark.implicits._
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
@@ -109,10 +112,10 @@ object Wand {
     val bcAllowed = spark.sparkContext.broadcast(
       allowedDocs.map(_.sorted).orNull)
     // tombstoned docs are invisible to every search (PackedIndex.delete)
-    val tomb = PackedIndex.loadTombstones(indexDir)
+    val tomb = PackedIndex.loadTombstones(indexDir, meta)
     val bcDenied = spark.sparkContext.broadcast(
       if (tomb.isEmpty) null else tomb)
-    val postings = PackedIndex.loadPostings(spark, indexDir)
+    val postings = PackedIndex.loadPostings(spark, indexDir, meta = meta)
     val matched =
       (if (terms.size <= IsinThreshold)
         postings.filter(col("term").isin(terms: _*))
@@ -160,13 +163,26 @@ object Wand {
     *  1. ONE pass over the query table assigns chunk ids and writes the
     *     batch chunk-partitioned to staging — the query table is never
     *     rescanned per chunk (the earlier version ran numChunks full scans).
-    *  2. Each chunk job reads ONLY its own partition directory, collects the
-    *     bounded chunk (<= chunkSize rows — this is the broadcast-kernel
-    *     input, the only driver materialization), and writes its hits to its
-    *     own sink partition. A failed chunk job is retried idempotently
-    *     (overwrite of its dir); completed chunks are never recomputed.
-    *  3. The result is ONE scan of the sink — no N-leg union lineage, no
-    *     driver-side result accumulation.
+    *  2. Chunk ACCOUNTING comes from reading the staged table back through
+    *     the same TableIO (one tiny per-chunk count agg): the per-chunk
+    *     counts must sum to the batch size, so staged data that is not
+    *     visible to the readers (wrong staging storage, eventual-consistency
+    *     lag, a vanished partition) FAILS LOUDLY instead of silently
+    *     returning a subset of results. No driver-local filesystem probe
+    *     anywhere — the path works unchanged on shared storage.
+    *  3. Each chunk job reads ONLY its own partition (partition-pruned
+    *     filter on the staged table), verifies it collected exactly the
+    *     accounted rows, and writes its hits to its own sink partition. A
+    *     failed chunk job is retried idempotently (overwrite of its dir).
+    *  4. The result is ONE scan of the sink — no N-leg union lineage, no
+    *     driver-side result accumulation. With the default (engine-created)
+    *     staging dir the result is materialized via localCheckpoint and the
+    *     staging dir deleted; a caller-supplied `stagingDir` is left intact
+    *     (the caller owns its lifecycle, e.g. for resume/debugging) and the
+    *     returned frame scans it lazily. Any stale `hits/` content in a
+    *     reused staging dir is removed up front — a larger prior batch's
+    *     leftover chunk partitions would otherwise be unioned into this
+    *     batch's results by the final sink scan.
     *
     * Parity: identical to [[search]] on the same batch (RetrieverSpec).
     */
@@ -174,7 +190,8 @@ object Wand {
                k: Int, chunkSize: Int = 10000,
                io: graft.io.TableIO = graft.io.ParquetDirIO,
                stagingDir: Option[String] = None,
-               allowedDocs: Option[Array[Long]] = None): DataFrame = {
+               allowedDocs: Option[Array[Long]] = None,
+               meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
     val q = queries.select(col("query_id").cast("long"), col("text").cast("string"))
     val n = q.count()
     if (n == 0) return search(spark, indexDir, Nil, k)
@@ -185,43 +202,59 @@ object Wand {
       val chunk = q.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
       return search(spark, indexDir, chunk, k, allowedDocs)
     }
-    val staging = stagingDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-searchds").toString)
+    val ownStaging = stagingDir.isEmpty
+    val staging = stagingDir.getOrElse(meta.createTempDir("graft-searchds"))
+    if (meta.exists(s"$staging/hits")) meta.deleteRecursively(s"$staging/hits")
     io.write(
       q.withColumn("chunk", pmod(xxhash64(col("query_id")), lit(numChunks))),
       s"$staging/queries", partitionBy = Seq("chunk"))
+    // accounting read-back (step 2 above): same TableIO the chunk jobs use
+    val staged = io.read(spark, s"$staging/queries")
+    val perChunk: Map[Long, Long] = staged
+      .groupBy(col("chunk").cast("long").as("chunk")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stagedTotal = perChunk.values.sum
+    require(stagedTotal == n,
+      s"searchDs: staged query batch incomplete — wrote $n queries but " +
+        s"$stagedTotal are readable at $staging/queries (staging storage " +
+        "not shared with the readers, or partitions vanished)")
     // chunk jobs are INDEPENDENT (disjoint query sets, disjoint sink dirs):
     // submit a few concurrently so Spark overlaps one chunk's straggler/IO
     // tail with the next chunk's work (same pattern as the concurrent group
     // builds in PackedIndex). Bounded pool — each in-flight chunk holds one
     // chunkSize collect + one broadcast.
-    def runChunk(c: Long): Boolean = {
-      val chunkPath = java.nio.file.Paths.get(s"$staging/queries/chunk=$c")
-      java.nio.file.Files.exists(chunkPath) && {
-        val chunk = io.read(spark, chunkPath.toString)
-          .select(col("query_id"), col("text"))
-          .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
-        chunk.nonEmpty && {
-          io.write(search(spark, indexDir, chunk, k, allowedDocs),
-            s"$staging/hits/chunk=$c")
-          true
-        }
-      }
+    def runChunk(c: Long): Unit = {
+      val chunk = io.read(spark, s"$staging/queries")
+        .filter(col("chunk").cast("long") === c) // partition-pruned
+        .select(col("query_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      require(chunk.length.toLong == perChunk(c),
+        s"searchDs: staged chunk $c holds ${chunk.length} of the " +
+          s"${perChunk(c)} accounted queries — partition vanished mid-run")
+      io.write(search(spark, indexDir, chunk, k, allowedDocs),
+        s"$staging/hits/chunk=$c")
     }
-    val wroteAny: Boolean = {
+    {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val width = math.min(numChunks, 4L).toInt
+      val chunks = perChunk.keys.toSeq.sorted
+      val width = math.min(chunks.size, 4)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try Await.result(
-        Future.sequence((0L until numChunks).map(c => Future(runChunk(c)))),
-        Duration.Inf).exists(identity)
+        Future.sequence(chunks.map(c => Future(runChunk(c)))), Duration.Inf)
       finally pool.shutdown()
     }
-    if (!wroteAny) search(spark, indexDir, Nil, k)
-    else io.read(spark, s"$staging/hits")
+    val out = io.read(spark, s"$staging/hits")
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+    if (!ownStaging) out
+    else {
+      // results are bounded (<= n*k rows — the caller's answer either way);
+      // pin them so the scratch dir can be reclaimed immediately
+      val pinned = out.localCheckpoint()
+      meta.deleteRecursively(staging)
+      pinned
+    }
   }
 
   // ---- per-shard kernel ------------------------------------------------

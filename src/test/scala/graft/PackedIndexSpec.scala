@@ -230,8 +230,12 @@ class PackedIndexSpec extends SparkSpec {
     // ORIGINAL range (watermark.json; a manifest-sum watermark would hand
     // out id 599-shifted ids that collide with surviving docs)
     assert(PackedIndex.committedDocs(out) == 600L)
-    PackedIndex.delete(out, Seq(599L)) // highest surviving id is deletable
-    assert(PackedIndex.loadTombstones(out).sameElements(Array(599L)))
+    PackedIndex.delete(out, Seq(598L)) // highest SURVIVING id is deletable
+    assert(PackedIndex.loadTombstones(out).sameElements(Array(598L)))
+    // 599 was compacted away: re-deleting it is a no-op on the dead-id
+    // ledger, not a fresh tombstone
+    PackedIndex.delete(out, Seq(599L))
+    assert(PackedIndex.loadTombstones(out).sameElements(Array(598L)))
 
     // deleting an id the index never committed fails loudly
     intercept[IllegalArgumentException] {
@@ -276,6 +280,78 @@ class PackedIndexSpec extends SparkSpec {
     val retried = Wand.search(spark, out2, Seq(1L -> "t0 t1"), 0).collect()
       .map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(retried == clean)
+  }
+
+  test("delete lifecycle across compactions: holes are no-ops, stats stay exact") {
+    val docs = randomCorpus(nDocs = 400, vocab = 90, seed = 41)
+    val dir = Files.createTempDirectory("graft-holes").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    val dead1 = Seq(2L, 5L, 9L, 100L, 150L)
+    PackedIndex.delete(dir, dead1)
+    val out1 = Files.createTempDirectory("graft-holes-out1").toString
+    PackedIndex.compact(spark, dir, out1)
+    assert(PackedIndex.loadHoles(out1).toSeq == dead1.sorted)
+
+    // re-issued GDPR delete of an already-erased doc: a no-op, not a new
+    // tombstone (it would make the next compact subtract a nonexistent doc)
+    PackedIndex.delete(out1, Seq(5L, 9L))
+    assert(PackedIndex.loadTombstones(out1).isEmpty)
+
+    // mixed batch: hole ids filtered, live ids tombstoned
+    PackedIndex.delete(out1, Seq(5L, 33L, 44L))
+    assert(PackedIndex.loadTombstones(out1).sameElements(Array(33L, 44L)))
+
+    // second compaction: stats == fresh rebuild over the TRUE survivors
+    val out2 = Files.createTempDirectory("graft-holes-out2").toString
+    PackedIndex.compact(spark, out1, out2)
+    val deadAll = (dead1 ++ Seq(33L, 44L)).toSet
+    val survivors = docs.indices.map(_.toLong).filterNot(deadAll)
+    val dirF = Files.createTempDirectory("graft-holes-fresh").toString
+    buildIndex(survivors.map(i => docs(i.toInt)), dirF, shardBits = 7, groups = 2)
+    val sC = PackedIndex.readStats(out2)
+    val sF = PackedIndex.readStats(dirF)
+    assert(sC.n == sF.n, s"n ${sC.n} vs fresh ${sF.n}")
+    assert(sC.avgdl == sF.avgdl)
+    assert(sC.avgRawIdf == sF.avgRawIdf)
+    // the dead-id ledger carries forward across compactions
+    assert(PackedIndex.loadHoles(out2).toSeq == deadAll.toSeq.sorted)
+
+    // query parity over survivors with ORIGINAL ids
+    val oracle = new Bm25.Oracle(survivors.map(i => docs(i.toInt)), P)
+    val got = Wand.search(spark, out2, Seq(1L -> "t0 t1 t5"), 0).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val want = oracle.topK(Seq("t0", "t1", "t5"), 0).filter(_._2 != 0.0)
+      .map { case (idx, s) => (survivors(idx.toInt), s) }
+    assert(got == want)
+  }
+
+  test("compact ignores a crashed append's stats.json (manifests are truth)") {
+    val docs = randomCorpus(nDocs = 200, vocab = 60, seed = 51)
+    val dir = Files.createTempDirectory("graft-cstats").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    PackedIndex.delete(dir, Seq(3L, 4L))
+    // crash window: append's stats.json committed (counts the new batch),
+    // manifest not — compact's doc arithmetic must use the manifests
+    val s = PackedIndex.readStats(dir)
+    PackedIndex.writeStats(dir, s.copy(n = s.n + 37), PackedIndex.readDfDir(dir))
+    val out = Files.createTempDirectory("graft-cstats-out").toString
+    PackedIndex.compact(spark, dir, out)
+    assert(PackedIndex.readStats(out).n == 198L,
+      "crashed-append stats.n leaked into the compacted doc count")
+  }
+
+  test("tombstone set is bounded: overflow fails with the compact remedy") {
+    val docs = randomCorpus(nDocs = 100, vocab = 30, seed = 61)
+    val dir = Files.createTempDirectory("graft-tbound").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 1)
+    PackedIndex.delete(dir, (0L until 5L).toSeq, maxTombstones = 8)
+    val ex = intercept[IllegalArgumentException] {
+      PackedIndex.delete(dir, (5L until 10L).toSeq, maxTombstones = 8)
+    }
+    assert(ex.getMessage.contains("compact"))
+    // the failed call must not have grown the committed set
+    assert(PackedIndex.loadTombstones(dir).length == 5)
   }
 
   test("build is resumable: completed groups are skipped, result identical") {

@@ -93,6 +93,56 @@ class RetrieverSpec extends SparkSpec {
     assert(seqHits.forall(_._2 % 2 == 0), "odd doc leaked past the filter")
   }
 
+  test("searchDs: stale hits in a reused staging dir don't leak into results") {
+    val dir = Files.createTempDirectory("graft-dsq-stale").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 300, 4).toDF(), dir, shardBits = 6, groups = 2)
+    val staging = Files.createTempDirectory("graft-dsq-staging").toString
+    val big = Bench.queryBatch(40)
+    graft.query.Wand.searchDs(spark, dir, big.toDF("query_id", "text"), 10,
+      chunkSize = 7, stagingDir = Some(staging)).count()
+    // smaller second batch, SAME staging dir: the first run's extra
+    // hits/chunk=N partitions must not be unioned into this result
+    val small = big.take(14)
+    val got = graft.query.Wand.searchDs(spark, dir,
+      small.toDF("query_id", "text"), 10, chunkSize = 7,
+      stagingDir = Some(staging)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = graft.query.Wand.search(spark, dir, small, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want, "stale chunk partitions leaked from the reused staging")
+  }
+
+  test("searchDs raises when staged chunks are not visible (no silent subset)") {
+    val dir = Files.createTempDirectory("graft-dsq-vanish").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 300, 4).toDF(), dir, shardBits = 6, groups = 2)
+    // a TableIO whose staged-query write "loses" one chunk partition — the
+    // observable shape of staging on storage the readers can't fully see
+    // (the bug class: staging probed via a driver-local filesystem check)
+    object DropOneChunkIO extends graft.io.TableIO {
+      override def write(df: org.apache.spark.sql.DataFrame, location: String,
+                         partitionBy: Seq[String] = Nil): Unit = {
+        graft.io.ParquetDirIO.write(df, location, partitionBy)
+        if (location.endsWith("/queries")) {
+          val victim = graft.io.LocalMetaIO.list(location)
+            .filter(_.startsWith("chunk=")).sorted.head
+          graft.io.LocalMetaIO.deleteRecursively(s"$location/$victim")
+        }
+      }
+      override def read(s: org.apache.spark.sql.SparkSession, location: String) =
+        graft.io.ParquetDirIO.read(s, location)
+      override def committed(location: String) =
+        graft.io.ParquetDirIO.committed(location)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      graft.query.Wand.searchDs(spark, dir,
+        Bench.queryBatch(40).toDF("query_id", "text"), 10, chunkSize = 7,
+        io = DropOneChunkIO).count()
+    }
+    assert(ex.getMessage.contains("incomplete"))
+  }
+
   test("ensemble retriever fuses wand + cosine with RRF semantics") {
     // tiny pages index
     val dir = Files.createTempDirectory("graft-retr").toString
