@@ -195,6 +195,17 @@ object SparkEntry {
         Seq("table", "scan"), k = 10)
     }),
 
+    // Phrase search from the POSITIONAL index arm alone (no corpus rescan):
+    // same phrase, same exact DuckDB oracle as q_phrase_topk — proves the
+    // positional kernel count-identical to the sliding verify.
+    "q_phrase_positional_topk" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-posq").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PositionalIndex.build(tok, idxDir)
+      graft.query.Phrase.topKPositional(s, idxDir, Seq("table", "scan"), k = 10)
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -252,6 +263,23 @@ object SparkEntry {
     graft.contract.PipelineQueries.oracleSql ++
     graft.contract.DataOpsQueries.oracleSql ++
     graft.contract.MiscQueries.oracleSql
+
+  private def phraseOracle(ctes: String): String =
+    ctes +
+      s""", cand AS (
+         |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |), pc AS (
+         |  SELECT t.doc_id,
+         |         CAST(len(list_filter(range(1, len(terms)),
+         |           i -> terms[i] = 'table' AND terms[i+1] = 'scan')) AS BIGINT) AS phrase_tf
+         |  FROM tok t JOIN cand USING (doc_id)
+         |), ranked AS (
+         |  SELECT doc_id, phrase_tf,
+         |         CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS INT) AS rank
+         |  FROM pc WHERE phrase_tf > 0
+         |)
+         |SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 10""".stripMargin
 
   private def coreOracleSql: Map[String, String] = {
     val ctes = DocsCorpus.oracleCorpusCtes
@@ -332,23 +360,10 @@ object SparkEntry {
            |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // sliding-window phrase count over candidates holding both terms;
-      // DuckDB arrays are 1-based, range(a,b) is [a,b)
-      "q_phrase_topk" ->
-        (ctes +
-          s""", cand AS (
-             |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan')
-             |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
-             |), pc AS (
-             |  SELECT t.doc_id,
-             |         CAST(len(list_filter(range(1, len(terms)),
-             |           i -> terms[i] = 'table' AND terms[i+1] = 'scan')) AS BIGINT) AS phrase_tf
-             |  FROM tok t JOIN cand USING (doc_id)
-             |), ranked AS (
-             |  SELECT doc_id, phrase_tf,
-             |         CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS INT) AS rank
-             |  FROM pc WHERE phrase_tf > 0
-             |)
-             |SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 10""".stripMargin),
+      // DuckDB arrays are 1-based, range(a,b) is [a,b). The positional-arm
+      // query shares the oracle verbatim — same counts from the index alone.
+      "q_phrase_topk" -> phraseOracle(ctes),
+      "q_phrase_positional_topk" -> phraseOracle(ctes),
 
       // tombstone semantics: stats full-corpus, deleted docs excluded from
       // candidates only

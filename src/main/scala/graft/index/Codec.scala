@@ -126,4 +126,97 @@ object Codec {
     }
     blocks.toIndexedSeq
   }
+
+  // ---- positional blocks ----------------------------------------------
+
+  /** One packed POSITIONS block — the optional positional arm of the index
+    * (term occurrence offsets within each doc's token array, for phrase /
+    * proximity queries). Same block granularity as [[Block]]:
+    *   - docs: varint(delta(docId)) exactly like the scoring blocks
+    *   - cnts: varint(positions per posting)  (== tf by construction)
+    *   - poss: per posting, its sorted positions delta-encoded (first
+    *     absolute, then gaps) — a posting's positions never split across
+    *     blocks, so a block is self-contained for phrase verification.
+    */
+  final case class PosBlock(
+      baseDocId: Long,
+      maxDocId: Long,
+      count: Int,
+      docs: Array[Byte],
+      cnts: Array[Byte],
+      poss: Array[Byte]) {
+
+    def decodeDocIds: Array[Long] = {
+      val deltas = readVarLongs(docs, count)
+      val out = new Array[Long](count)
+      var acc = baseDocId
+      var i = 0
+      while (i < count) { acc += deltas(i); out(i) = acc; i += 1 }
+      out
+    }
+
+    def decodeCounts: Array[Long] = readVarLongs(cnts, count)
+
+    /** Per-posting position arrays (sorted ascending). */
+    def decodePositions: Array[Array[Long]] = {
+      val counts = decodeCounts
+      val total = counts.sum.toInt
+      val flat = readVarLongs(poss, total)
+      val out = new Array[Array[Long]](count)
+      var fi = 0
+      var i = 0
+      while (i < count) {
+        val c = counts(i).toInt
+        val arr = new Array[Long](c)
+        var acc = 0L
+        var j = 0
+        while (j < c) { acc += flat(fi); arr(j) = acc; fi += 1; j += 1 }
+        out(i) = arr
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Pack sorted postings (docId asc) with their per-doc sorted position
+    * arrays into positional blocks.
+    */
+  def packPositions(docIds: Array[Long], positions: Array[Array[Long]],
+                    blockSize: Int = DefaultBlockSize): IndexedSeq[PosBlock] = {
+    require(docIds.length == positions.length)
+    val n = docIds.length
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[PosBlock]
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + blockSize, n)
+      val base = docIds(start)
+      val docsB = new ByteArrayOutputStream()
+      val cntsB = new ByteArrayOutputStream()
+      val possB = new ByteArrayOutputStream()
+      var prev = base
+      var i = start
+      while (i < end) {
+        val d = docIds(i)
+        require(i == start || d > prev, s"docIds must be strictly increasing: $prev -> $d")
+        writeVarLong(docsB, d - (if (i == start) base else prev))
+        prev = d
+        val ps = positions(i)
+        writeVarLong(cntsB, ps.length.toLong)
+        var pprev = 0L
+        var j = 0
+        while (j < ps.length) {
+          require(j == 0 || ps(j) > pprev,
+            s"positions must be strictly increasing: $pprev -> ${ps(j)}")
+          writeVarLong(possB, ps(j) - (if (j == 0) 0L else pprev))
+          pprev = ps(j)
+          j += 1
+        }
+        i += 1
+      }
+      blocks += PosBlock(base, docIds(end - 1), end - start,
+        docsB.toByteArray, cntsB.toByteArray, possB.toByteArray)
+      start = end
+    }
+    blocks.toIndexedSeq
+  }
 }

@@ -89,4 +89,167 @@ object Phrase {
     graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
       col("phrase_tf").desc, col("doc_id").asc)
   }
+
+  /** Top-k phrase search from the POSITIONAL index arm alone — no corpus
+    * rescan (the production shape once [[graft.index.PositionalIndex]] is
+    * built): the phrase terms' positional rows are pulled with a pushed-down
+    * term filter, co-located per doc-shard (every term of a doc lives in
+    * the same shard by construction), and a per-shard kernel intersects the
+    * terms' sorted doc lists and counts adjacency runs by binary-searching
+    * each follower term's position array. Identical counts to the sliding
+    * verify ([[topK]]) — pinned by PhraseSpec property tests and the shared
+    * q_phrase DuckDB oracle. Honors tombstones.
+    *
+    * Scale shape: only the phrase terms' postings move (one shard
+    * repartition of those rows), candidates never materialize globally, and
+    * per shard the work is |rarest term's postings| binary searches.
+    */
+  def topKPositional(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, phrase: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "topKPositional: empty phrase")
+    val distinctTerms = phrase.distinct
+    // staleness gate: the positional arm is rebuilt wholesale (not appended);
+    // a queried term whose positional posting count no longer matches the
+    // scoring df table means the arm predates an append — fail loudly
+    val dfCounts = graft.index.PackedIndex.loadDf(spark, indexDir)
+      .filter(col("term").isin(distinctTerms: _*))
+      .select(col("term"), col("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val posRows = graft.index.PositionalIndex.load(spark, indexDir)
+      .filter(col("term").isin(distinctTerms: _*))
+    val posCounts = posRows.groupBy(col("term"))
+      .agg(sum(col("nPostings")).as("np"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    distinctTerms.foreach { t =>
+      val want = dfCounts.getOrElse(t, 0L)
+      val got = posCounts.getOrElse(t, 0L)
+      require(got == want,
+        s"topKPositional: positional arm is stale for term '$t' " +
+          s"($got positional postings vs df=$want) — re-run " +
+          "PositionalIndex.build after appends")
+    }
+    if (distinctTerms.exists(t => dfCounts.getOrElse(t, 0L) == 0L))
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "phrase_tf")
+        .withColumn("rank", lit(1)).limit(0)
+    val tomb = graft.index.PackedIndex.loadTombstones(indexDir)
+    val bcTomb = spark.sparkContext.broadcast(tomb)
+    val bcPhrase = spark.sparkContext.broadcast(phrase.toArray)
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    val counted = posRows
+      .repartition(parts, col("shard"))
+      .sortWithinPartitions(col("shard"), col("term"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Iterator[(Long, Long)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Long)] = {
+            val shard = buf.head.shard
+            val rows = scala.collection.mutable.ArrayBuffer.empty[graft.index.PosPostings]
+            while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
+            shardPhraseCounts(rows.toSeq, bcPhrase.value, bcTomb.value)
+          }
+        }.flatten
+      }
+      .toDF("doc_id", "phrase_tf")
+      .filter(col("phrase_tf") > 0)
+    val bounded = counted
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc).limit(k)
+    graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
+      col("phrase_tf").desc, col("doc_id").asc)
+  }
+
+  /** Per-shard positional kernel: decode each phrase term's (docId ->
+    * positions) within the shard, intersect the DISTINCT terms' sorted doc
+    * lists with a k-way merge, and for every surviving doc count leader
+    * positions p with p+j present in term_j's position set for all j
+    * (overlaps count, matching [[phraseCount]]). A (shard, term) may span
+    * multiple rows (appends land in new groups) — block lists are
+    * concatenated in base order like the WAND kernel does.
+    */
+  private[query] def shardPhraseCounts(rows: Seq[graft.index.PosPostings],
+                                       phrase: Array[String],
+                                       tomb: Array[Long]): Iterator[(Long, Long)] = {
+    val byTerm = scala.collection.mutable.HashMap.empty[String, Array[graft.index.PackedPosBlock]]
+    rows.foreach { r =>
+      byTerm.get(r.term) match {
+        case None => byTerm.update(r.term, r.blocks)
+        case Some(existing) =>
+          byTerm.update(r.term, (existing ++ r.blocks).sortBy(_.base))
+      }
+    }
+    val distinctTerms = phrase.distinct
+    if (!distinctTerms.forall(byTerm.contains)) return Iterator.empty
+    // decode each distinct term once: sorted doc ids + per-doc positions
+    val decoded: Map[String, (Array[Long], Array[Array[Long]])] =
+      distinctTerms.map { t =>
+        val blocks = byTerm(t)
+        val docs = Array.newBuilder[Long]
+        val poss = Array.newBuilder[Array[Long]]
+        blocks.foreach { b =>
+          val cb = b.toCodec
+          docs ++= cb.decodeDocIds
+          poss ++= cb.decodePositions
+        }
+        t -> (docs.result(), poss.result())
+      }.toMap
+    // k-way sorted intersection over the distinct terms' doc lists
+    val lists = distinctTerms.map(decoded)
+    val cursors = new Array[Int](lists.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var done = false
+    while (!done) {
+      // candidate = max of current heads; advance all lists to it
+      var cand = Long.MinValue
+      var i = 0
+      while (i < lists.length && !done) {
+        if (cursors(i) >= lists(i)._1.length) done = true
+        else if (lists(i)._1(cursors(i)) > cand) cand = lists(i)._1(cursors(i))
+        i += 1
+      }
+      if (!done) {
+        var aligned = true
+        i = 0
+        while (i < lists.length) {
+          val docsArr = lists(i)._1
+          var c = cursors(i)
+          while (c < docsArr.length && docsArr(c) < cand) c += 1
+          cursors(i) = c
+          if (c >= docsArr.length) { aligned = false; done = true }
+          else if (docsArr(c) != cand) aligned = false
+          i += 1
+        }
+        if (aligned) {
+          if (java.util.Arrays.binarySearch(tomb, cand) < 0) {
+            // positions per phrase slot (repeated terms share their array)
+            val slotPos: Array[Array[Long]] = phrase.map { t =>
+              val (docsArr, possArr) = decoded(t)
+              val idx = cursors(distinctTerms.indexOf(t))
+              // cursor of t's list is aligned at cand
+              possArr(idx)
+            }
+            var cnt = 0L
+            val leader = slotPos(0)
+            var li = 0
+            while (li < leader.length) {
+              val p = leader(li)
+              var ok = true
+              var j = 1
+              while (ok && j < slotPos.length) {
+                if (java.util.Arrays.binarySearch(slotPos(j), p + j) < 0) ok = false
+                j += 1
+              }
+              if (ok) cnt += 1
+              li += 1
+            }
+            if (cnt > 0) out += ((cand, cnt))
+          }
+          // advance every list past the candidate
+          i = 0
+          while (i < lists.length) { cursors(i) += 1; i += 1 }
+        }
+      }
+    }
+    out.iterator
+  }
 }

@@ -84,6 +84,90 @@ class PhraseSpec extends SparkSpec {
     }
   }
 
+  test("positional codec round-trip: packPositions then decode is identity") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 50) {
+      val n = 1 + rnd.nextInt(300)
+      val docs = new Array[Long](n)
+      var acc = rnd.nextInt(1000).toLong
+      for (i <- 0 until n) { acc += 1 + rnd.nextInt(50); docs(i) = acc }
+      val poss = Array.fill(n) {
+        val c = 1 + rnd.nextInt(8)
+        val out = new Array[Long](c)
+        var p = rnd.nextInt(4).toLong
+        for (j <- 0 until c) { out(j) = p; p += 1 + rnd.nextInt(20) }
+        out
+      }
+      val blocks = graft.index.Codec.packPositions(docs, poss, blockSize = 64)
+      assert(blocks.flatMap(_.decodeDocIds).toSeq == docs.toSeq)
+      val gotPos = blocks.flatMap(_.decodePositions)
+      assert(gotPos.length == n)
+      gotPos.zip(poss).foreach { case (g, w) => assert(g.sameElements(w)) }
+      blocks.foreach(b => assert(b.maxDocId == b.decodeDocIds.last))
+    }
+  }
+
+  test("positional phrase search == sliding rescan on random corpora (property)") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0 until 150).map { i =>
+      i.toLong -> Seq.fill(1 + rnd.nextInt(25))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val t = tok(docs: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-posidx").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 5, groups = 2)
+    graft.index.PositionalIndex.build(t, dir)
+    val post = InvertedIndex.postings(t)
+    for (phrase <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("c", "d", "a"),
+        Seq("b"), Seq("a", "b", "a"))) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = rows(Phrase.topK(t, post, phrase, 500))
+      val got = rows(Phrase.topKPositional(spark, dir, phrase, 500))
+      assert(got == want, s"positional != rescan for phrase $phrase")
+      assert(want.nonEmpty, s"degenerate fixture for phrase $phrase")
+    }
+  }
+
+  test("positional phrase search honors tombstones") {
+    val t = tok(
+      0L -> "x table deep scan y",
+      1L -> "x table scan y",
+      2L -> "scan table scan table scan")
+    val dir = java.nio.file.Files.createTempDirectory("graft-postomb").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 2, groups = 1)
+    graft.index.PositionalIndex.build(t, dir)
+    val before = Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sortBy(_._3)
+    assert(before == Seq((2L, 2L, 1), (1L, 1L, 2)))
+    graft.index.PackedIndex.delete(dir, Seq(2L))
+    val after = Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(after == Seq((1L, 1L, 1)))
+  }
+
+  test("stale positional arm after append fails loudly") {
+    val t = tok(0L -> "table scan x", 1L -> "y table scan")
+    val dir = java.nio.file.Files.createTempDirectory("graft-posstale").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 2, groups = 1)
+    graft.index.PositionalIndex.build(t, dir)
+    // append docs containing the phrase terms WITHOUT rebuilding the arm
+    val extra = tok(2L -> "table scan table scan")
+    graft.index.PackedIndex.append(extra, dir)
+    val ex = intercept[IllegalArgumentException] {
+      Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10).collect()
+    }
+    assert(ex.getMessage.contains("stale"))
+    // rebuilding the arm over the full corpus restores service
+    graft.index.PositionalIndex.build(
+      tok(0L -> "table scan x", 1L -> "y table scan",
+        2L -> "table scan table scan"), dir)
+    val hits = Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("duplicate-term phrase uses distinct terms for candidates") {
     val t = tok(0L -> "go go go", 1L -> "go stop go")
     val post = InvertedIndex.postings(t)
