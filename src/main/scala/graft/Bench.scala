@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Raw single-thread CPU sentinel: Mops of a fixed integer-hash spin.
+    * Measured at benchmark start AND end and recorded in the JSON line, so
+    * a degraded host window (this VM shows sporadic multi-second freezes —
+    * BENCH/METHODOLOGY.md) is visible in the artifact itself instead of
+    * masquerading as an engine regression. Nominal on this host: ~400-500
+    * Mops; a sentinel far below that marks the rep contaminated.
+    */
+  def calibMops(): Double = {
+    def spin(n: Int): Double = {
+      val t0 = System.nanoTime()
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) { h ^= i; h *= 0x100000001b3L; i += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) Console.err.print("") // defeat dead-code elimination
+      n / sec / 1e6
+    }
+    spin(20000000) // JIT warm-up pass, discarded
+    spin(200000000)
+  }
+
   /** Deterministic mixed hot/rare query batch. */
   def queryBatch(nQueries: Int): Seq[(Long, String)] = {
     val rnd = new scala.util.Random(7)
@@ -64,6 +85,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibStart = calibMops()
 
     // headline: north-rule build + query throughput
     val (buildSec, querySec, _, idxDir) =
@@ -152,8 +174,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val calibEnd = calibMops()
     println(
-      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"ds_batch_qps":${f"$dsQps%.1f"},"ds_100k_qps":${f"$ds2Qps%.1f"},"n_pages":$nPages,"n_queries":$nQueries,"n_ds_queries":$nDsQueries,"n_ds2_queries":$nDs2}""")
+      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"ds_batch_qps":${f"$dsQps%.1f"},"ds_100k_qps":${f"$ds2Qps%.1f"},"n_pages":$nPages,"n_queries":$nQueries,"n_ds_queries":$nDsQueries,"n_ds2_queries":$nDs2,"cpu_calib_start_mops":${f"$calibStart%.0f"},"cpu_calib_end_mops":${f"$calibEnd%.0f"}}""")
     spark.stop()
   }
 }

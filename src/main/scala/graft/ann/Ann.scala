@@ -119,18 +119,26 @@ object Ann {
     * corpus shuffle is once at index time (partition by cell), queries touch
     * nProbe/|cells| of the data.
     */
-  def ivfTopK(queries: DataFrame, corpusWithCell: DataFrame,
-              centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  /** Each query's `nProbe` nearest cells: (query_id, qvec, cell_id). The
+    * probe-selection half of [[ivfTopK]], exposed so quality/cost sweeps
+    * ([[ivfSweep]]) can account scanned vectors without re-deriving it.
+    */
+  def probeCells(queries: DataFrame, centroids: DataFrame,
+                 nProbe: Int): DataFrame = {
     val q = queries.select(col("query_id").cast("long"),
       col("qvec").cast("array<double>").as("qvec"))
-    // query -> nProbe nearest cells
     val qCells = q.join(broadcast(centroids))
       .withColumn("ccos", cosine(col("qvec"), col("cvec")))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id").asc)
-    val probes = qCells.withColumn("r", row_number().over(wq))
+    qCells.withColumn("r", row_number().over(wq))
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell_id"))
+  }
+
+  def ivfTopK(queries: DataFrame, corpusWithCell: DataFrame,
+              centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(queries, centroids, nProbe)
     val scored = corpusWithCell.join(broadcast(probes), Seq("cell_id"))
       .withColumn("cos", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("query_id"))
@@ -138,6 +146,43 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Quality/cost sweep for IVF: for each nProbe, the recall against the
+    * exact brute-force top-k and the fraction of corpus vectors scanned
+    * (Σ over queries of probed-cell sizes / (nq * N)) — the operating-point
+    * table an operator reads to pick nProbe (recall rises toward 1.0 as the
+    * scanned fraction approaches 1.0 = brute force). All inputs except the
+    * corpus are query-batch-bounded; the per-point cost is one ivfTopK run
+    * over the batch.
+    *
+    * `exact` must be `bruteForceTopK(queries, corpus, k)` over the same
+    * corpus (passed in so the sweep never recomputes it per point).
+    */
+  def ivfSweep(queries: DataFrame, corpusWithCell: DataFrame,
+               centroids: DataFrame, exact: DataFrame, k: Int,
+               nProbes: Seq[Int]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cellSizes = corpusWithCell.groupBy(col("cell_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = cellSizes.values.sum
+    val nq = queries.count()
+    val exactPairs = exact
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = nProbes.map { np =>
+      val probed = probeCells(queries, centroids, np)
+        .select(col("query_id"), col("cell_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val scanned = probed.map { case (_, c) => cellSizes.getOrElse(c, 0L) }.sum
+      val approx = ivfTopK(queries, corpusWithCell, centroids, k, np)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactPairs & approx).size.toDouble / exactPairs.size
+      (np, recall, scanned.toDouble / (nq * total))
+    }
+    rows.toDF("n_probe", "recall", "scanned_fraction")
   }
 
   /** Above this many centroids the assignment switches from column-literal

@@ -89,21 +89,44 @@ object DataOpsQueries {
     // driver check is rows-only). The query carries its own driver-visible
     // quality oracle instead: `in_exact_topk` marks whether each IVF hit is
     // in the query's EXACT brute-force top-k — the fraction of true rows is
-    // the recall that DedupAnnSpec gates (>= 0.6 post-Lloyd) in CI.
+    // the recall that DedupAnnSpec gates (>= 0.9 at this nProbe) in CI.
+    // Operating point (nProbe=12 of 16 cells, ~0.75 of the corpus scanned)
+    // chosen from the q_ann_ivf_sweep table: the synthetic embeddings are
+    // near-isotropic (intra-label cosine ~0.02), so high recall is
+    // intrinsically expensive on THIS corpus — on separable data the same
+    // code reaches >=0.9 recall scanning <15% (DedupAnnSpec pins that).
     "q_ann_ivf_topk" -> ((s, dir) => {
       val emb = DocsCorpus.table(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       val centroids = Ann.lloyd(corpus,
-        Ann.seedCentroids(corpus, nCells = 16), iters = 2)
+        Ann.seedCentroids(corpus, nCells = 16), iters = 4)
       val withCell = Ann.assignCells(corpus, centroids)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val exact = Ann.bruteForceTopK(queries, corpus, k = 10)
         .select(col("query_id"), col("vec_id"), lit(true).as("in_exact_topk"))
-      Ann.ivfTopK(queries, withCell, centroids, k = 10, nProbe = 4)
+      Ann.ivfTopK(queries, withCell, centroids, k = 10, nProbe = 12)
         .join(exact, Seq("query_id", "vec_id"), "left")
         .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos_r"),
           col("rank"), coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+    }),
+
+    // IVF quality/cost operating-point table (rows-only by design): recall
+    // vs exact brute force and fraction of the corpus scanned, per nProbe —
+    // the driver-visible evidence behind q_ann_ivf_topk's parameter choice.
+    "q_ann_ivf_sweep" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val centroids = Ann.lloyd(corpus,
+        Ann.seedCentroids(corpus, nCells = 16), iters = 4)
+      val withCell = Ann.assignCells(corpus, centroids)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Ann.bruteForceTopK(queries, corpus, k = 10)
+      Ann.ivfSweep(queries, withCell, centroids, exact, k = 10,
+        Seq(1, 2, 4, 8, 12, 16))
+        .select(col("n_probe"), round(col("recall"), 4).as("recall_r"),
+          round(col("scanned_fraction"), 4).as("scanned_frac_r"))
     }),
 
     // text quality features

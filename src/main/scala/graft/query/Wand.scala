@@ -63,17 +63,23 @@ object Wand {
     val allTerms = tokenized.flatMap(_._2).distinct
     val dfMap: Map[String, Long] =
       if (allTerms.isEmpty) Map.empty
-      else {
-        val dfTable = PackedIndex.loadDf(spark, indexDir, meta = meta)
-        val restricted =
-          if (allTerms.size <= IsinThreshold)
-            dfTable.filter(col("term").isin(allTerms: _*))
-          else {
-            import spark.implicits._
-            dfTable.join(broadcast(allTerms.toDF("term")), "term")
-          }
-        restricted.select(col("term"), col("df"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else IndexCache.dfMap(spark, indexDir, meta = meta) match {
+        // bounded vocabulary: driver-local lookups, no per-batch Spark job
+        // (the high-QPS serving floor; cache invalidated by stats.json
+        // version, so appends/compactions are picked up)
+        case Some(full) =>
+          allTerms.iterator.flatMap(t => full.get(t).map(t -> _)).toMap
+        case None =>
+          val dfTable = PackedIndex.loadDf(spark, indexDir, meta = meta)
+          val restricted =
+            if (allTerms.size <= IsinThreshold)
+              dfTable.filter(col("term").isin(allTerms: _*))
+            else {
+              import spark.implicits._
+              dfTable.join(broadcast(allTerms.toDF("term")), "term")
+            }
+          restricted.select(col("term"), col("df"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
     val prepared = tokenized.map { case (id, toks) =>
       val idf = toks.distinct.flatMap { t =>

@@ -51,7 +51,8 @@ class OracleHygieneSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     val rowsOnly = qs -- os
-    assert(rowsOnly == Set("q_pages_wand", "q_ann_ivf_topk", "q_multimodal_features"),
+    assert(rowsOnly == Set("q_pages_wand", "q_ann_ivf_topk",
+      "q_ann_ivf_sweep", "q_multimodal_features"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }

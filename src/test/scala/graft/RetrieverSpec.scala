@@ -143,6 +143,32 @@ class RetrieverSpec extends SparkSpec {
     assert(ex.getMessage.contains("incomplete"))
   }
 
+  test("df cache: one load per index version; append invalidates it") {
+    def tokDf(rows: (Long, String)*) = graft.index.InvertedIndex.tokenize(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dfcache").toString
+    graft.index.PackedIndex.build(
+      tokDf(0L -> "alpha beta gamma", 1L -> "alpha delta", 2L -> "beta beta",
+        3L -> "pad0 pad1", 4L -> "pad2 pad3", 5L -> "pad4 pad5"),
+      dir, shardBits = 2, groups = 1)
+    graft.query.IndexCache.invalidateAll()
+    val before = graft.query.IndexCache.loads
+    def run(q: String) = graft.query.Wand.search(spark, dir, Seq(1L -> q), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val r1 = run("alpha beta")
+    val r2 = run("alpha beta")
+    assert(r1 == r2 && r1.nonEmpty)
+    assert(graft.query.IndexCache.loads == before + 1,
+      "repeated batches must reuse one cached df map")
+    // append introduces a NEW term: the version token changes, the cache
+    // reloads, and the new term resolves (a stale map would return no hits)
+    graft.index.PackedIndex.append(tokDf(3L -> "omega omega alpha"), dir)
+    val r3 = graft.query.Wand.search(spark, dir, Seq(2L -> "omega"), 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(r3 == Seq(3L), s"appended-term hits: $r3")
+    assert(graft.query.IndexCache.loads == before + 2)
+  }
+
   test("ensemble retriever fuses wand + cosine with RRF semantics") {
     // tiny pages index
     val dir = Files.createTempDirectory("graft-retr").toString
