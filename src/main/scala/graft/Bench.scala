@@ -19,8 +19,9 @@ object Bench {
     * Measured at benchmark start AND end and recorded in the JSON line, so
     * a degraded host window (this VM shows sporadic multi-second freezes —
     * BENCH/METHODOLOGY.md) is visible in the artifact itself instead of
-    * masquerading as an engine regression. Nominal on this host: ~400-500
-    * Mops; a sentinel far below that marks the rep contaminated.
+    * masquerading as an engine regression. Nominal on this host: ~800 Mops
+    * (measured in a verified-clean window); a sentinel far below that marks
+    * the rep contaminated.
     */
   def calibMops(): Double = {
     def spin(n: Int): Double = {

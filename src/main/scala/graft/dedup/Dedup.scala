@@ -80,10 +80,24 @@ object Dedup {
     * bounds the per-bucket fan-out); Jaccard is then computed exactly from
     * shingle-set sizes: |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
     */
+  /** @param hashedShingles production mode: shingle strings are collapsed
+    *        to xxhash64 keys BEFORE the frequency count and self-join, so
+    *        the heavy shuffles move 8-byte longs instead of n-gram strings
+    *        (~4-8x smaller; at the 2M-page scale point the string form
+    *        OOM-ed the sandbox while the hashed form completes). Collisions
+    *        are negligible for Jaccard arithmetic (expected colliding
+    *        shingle pairs ~ S^2/2^65; at S=10^9 distinct shingles that is
+    *        ~0.03 affected intersections corpus-wide). The DuckDB-exact
+    *        contract query keeps the default string mode.
+    */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxShingleFreq: Int = 1000,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   hashedShingles: Boolean = false): DataFrame = {
+    val shStr = shingles(docs, n, idCol, textCol)
+    val sh =
+      if (!hashedShingles) shStr
+      else shStr.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
@@ -231,6 +245,78 @@ object Dedup {
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
             x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** WIDE SimHash: 120 bits as ARRAY<BIGINT>[2] (60 bits per word, same
+    * per-word layout as [[simhash]]), xx family only — each token
+    * occurrence contributes sign bits from TWO seeded xxhash64 digests.
+    *
+    * Why it exists: [[simhashPairs]] pigeonholes hamming<=3 over 4 chunks
+    * of 15 bits, so bucket keys span 2^15 values — at N docs the EXPECTED
+    * bucket size is N/32768 regardless of content, and beyond ~10^6 docs
+    * ordinary buckets blow the frequency cap by Poisson statistics alone
+    * (measured at the 2M-page scale point: 73% of rows landed in
+    * over-cap buckets). Chunk width must track log2(N): 120 bits / 4
+    * chunks = 30-bit keys (2^30 values) keep expected bucket size ~1 out
+    * to billions of docs while preserving the pigeonhole guarantee
+    * (hamming<=3 over the full print => at least one of 4 chunks exactly
+    * equal). This is the 100 TB operating point; the 60-bit form remains
+    * for the DuckDB-verifiable oracle contract.
+    */
+  def simhashWide(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = graft.tokenize.PyTokenize.asciiSplit(lower(col(textCol)))
+    val exploded = docs.select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("h1", xxhash64(lit(1), col("tok")))
+    val aggs = Seq("h0", "h1").flatMap { hcol =>
+      (0 until SimhashBits).map { b =>
+        sum(when(shiftright(col(hcol), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"${hcol}_b$b")
+      }
+    }
+    def fold(hcol: String): org.apache.spark.sql.Column =
+      (0 until SimhashBits).map(b =>
+        when(col(s"${hcol}_b$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+          x.bitwiseOR(y))
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array(fold("h0"), fold("h1")).as("simhash"))
+  }
+
+  /** Near-dup pairs from [[simhashWide]] prints: 4 chunks of 30 bits
+    * (words 0/1 x low/high 30 of each word's 60 used bits), bucket join
+    * with the standard frequency cap, exact hamming re-check over the full
+    * 120 bits. Catches all pairs with hamming <= 3 by pigeonhole.
+    */
+  def simhashPairsWide(docs: DataFrame, maxHamming: Int = 3,
+                       maxBucketSize: Int = 200,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhashWide(docs, idCol, textCol)
+    val chunkCols = (0 until 4).map { c =>
+      val word = element_at(col("simhash"), c / 2 + 1)
+      shiftright(word, (c % 2) * 30).bitwiseAND((1L << 30) - 1)
+    }
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val small = chunked.join(
+      chunked.groupBy(col("chunk"), col("ckey")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucketSize).select("chunk", "ckey"),
+      Seq("chunk", "ckey"))
+    val a = small.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = small.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(element_at(col("sh_a"), 1).bitwiseXOR(element_at(col("sh_b"), 1))) +
+          bit_count(element_at(col("sh_a"), 2).bitwiseXOR(element_at(col("sh_b"), 2))))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Candidate near-dup pairs by 15-bit chunk collision + exact hamming

@@ -167,6 +167,43 @@ class DedupAnnSpec extends SparkSpec {
     assert(viaLiteral.values.toSet.size > 1) // sanity: not all one cell
   }
 
+  test("wide simhash: word 0 == 60-bit xx simhash; dup/near-dup pairing works") {
+    // near-dup needs token-count dominance (simhash hamming<=3 means
+    // ~99.9% token overlap; tiny docs flip half the bits on any edit).
+    // Construction guarantees detection deterministically: 31 DISTINCT
+    // tokens (odd) x10 occurrences -> every bit's sign-sum is 10*(odd
+    // integer), so |sum| >= 10 and ONE extra occurrence (shift +-1) can
+    // never flip a bit — doc 2's print provably equals doc 0's.
+    val base = (0 until 31).flatMap(i => Seq.fill(10)(s"tok$i")).mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                       // exact dup of 0
+      (2L, base + " extraword"),        // near dup (+1 occurrence of 311)
+      (3L, (0 until 40).map(i => s"other$i").mkString(" ")),
+      (4L, (0 until 40).map(i => s"unrel$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // word 0 of the wide print uses the SAME per-token digest as the 60-bit
+    // xx fingerprint — parity pins the construction
+    val narrow = Dedup.simhash(docs, family = Dedup.XxFamily)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Dedup.simhashWide(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    narrow.foreach { case (id, fp) =>
+      assert(wide(id).head == fp, s"doc $id: wide word0 != narrow simhash")
+      assert(wide(id).length == 2)
+    }
+    val pairs = Dedup.simhashPairsWide(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue()))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((0L, 1L)).contains(0L), s"exact dup pair missing: $pairs")
+    assert(asMap.get((0L, 2L)).contains(0L), // provably hamming 0, see above
+      s"near-dup pair missing: $pairs")
+    // unrelated docs must not pair at the tight threshold
+    assert(!pairs.exists { case (a, b, _) =>
+      Set(a, b).contains(3L) || Set(a, b).contains(4L) })
+  }
+
   test("IVF on separable clusters: recall >= 0.9 scanning a small fraction") {
     // the q_ann_ivf contract corpus is near-isotropic noise (recall there is
     // intrinsically scan-bound); this fixture has REAL cluster structure and
