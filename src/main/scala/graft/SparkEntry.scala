@@ -206,6 +206,24 @@ object SparkEntry {
       graft.query.Phrase.topKPositional(s, idxDir, Seq("table", "scan"), k = 10)
     }),
 
+    // Ordered proximity (slop) search — declarative rescan path and the
+    // positional-index kernel, both against ONE exact DuckDB oracle
+    // (nested list lambdas): count of ("table" at p, "scan" at q) pairs
+    // with 0 < q - p <= 3 per doc, top-10.
+    "q_proximity_topk" -> ((s, dir) => {
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.query.Phrase.proximityTopK(tok, InvertedIndex.postings(tok),
+        "table", "scan", slop = 3, k = 10)
+    }),
+    "q_proximity_positional_topk" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-proxq").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PositionalIndex.build(tok, idxDir)
+      graft.query.Phrase.proximityTopKPositional(s, idxDir,
+        "table", "scan", slop = 3, k = 10)
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -280,6 +298,30 @@ object SparkEntry {
          |  FROM pc WHERE phrase_tf > 0
          |)
          |SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** Ordered proximity: pairs of ('table' at p, 'scan' at q), 0 < q-p <= 3.
+    * DuckDB lists are 1-based; nested lambdas compute per-leader window
+    * counts exactly like Phrase.proximityCount's fold.
+    */
+  private def proximityOracle(ctes: String): String =
+    ctes +
+      s""", cand AS (
+         |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |), pc AS (
+         |  SELECT t.doc_id,
+         |         CAST(coalesce(list_sum(list_transform(
+         |           list_filter(range(1, len(terms)+1), i -> terms[i] = 'table'),
+         |           p -> len(list_filter(
+         |             list_filter(range(1, len(terms)+1), j -> terms[j] = 'scan'),
+         |             q -> q > p AND q <= p + 3)))), 0) AS BIGINT) AS prox_tf
+         |  FROM tok t JOIN cand USING (doc_id)
+         |), ranked AS (
+         |  SELECT doc_id, prox_tf,
+         |         CAST(row_number() OVER (ORDER BY prox_tf DESC, doc_id ASC) AS INT) AS rank
+         |  FROM pc WHERE prox_tf > 0
+         |)
+         |SELECT doc_id, prox_tf, rank FROM ranked WHERE rank <= 10""".stripMargin
 
   private def coreOracleSql: Map[String, String] = {
     val ctes = DocsCorpus.oracleCorpusCtes
@@ -364,6 +406,8 @@ object SparkEntry {
       // query shares the oracle verbatim — same counts from the index alone.
       "q_phrase_topk" -> phraseOracle(ctes),
       "q_phrase_positional_topk" -> phraseOracle(ctes),
+      "q_proximity_topk" -> proximityOracle(ctes),
+      "q_proximity_positional_topk" -> proximityOracle(ctes),
 
       // tombstone semantics: stats full-corpus, deleted docs excluded from
       // candidates only

@@ -36,6 +36,73 @@ object Phrase {
           }.reduce(_ && _), lit(1L)).otherwise(lit(0L))))
   }
 
+  /** Ordered proximity count: number of (p, q) occurrence pairs with
+    * `a` at p, `b` at q, and 0 < q - p <= slop (an ordered within-window
+    * co-occurrence count; slop = 1 degenerates to the bigram phrase count).
+    * Declarative Catalyst like [[phraseCount]] — SQL-expressible, so the
+    * operator carries an exact DuckDB oracle (nested list lambdas).
+    */
+  def proximityCount(terms: Column, a: String, b: String, slop: Int): Column = {
+    require(slop >= 1, "proximityCount: slop must be >= 1")
+    val idx = sequence(lit(1), size(terms))
+    val posA = filter(idx, i => get(terms, i - 1) === lit(a))
+    val posB = filter(idx, i => get(terms, i - 1) === lit(b))
+    when(size(terms) < 1, lit(0L)).otherwise(
+      aggregate(posA, lit(0L), (acc, p) =>
+        acc + size(filter(posB, q => q > p && q <= p + lit(slop))).cast("long")))
+  }
+
+  /** Top-k docs by ordered proximity count (corpus-rescan verify path —
+    * the positional-index sibling is [[proximityTopKPositional]]).
+    */
+  def proximityTopK(tokenized: DataFrame, postings: DataFrame,
+                    a: String, b: String, slop: Int, k: Int): DataFrame = {
+    val counted = tokenized
+      .join(candidates(postings, Seq(a, b)), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        proximityCount(col("terms"), a, b, slop).as("prox_tf"))
+      .filter(col("prox_tf") > 0)
+    val bounded = counted
+      .orderBy(col("prox_tf").desc, col("doc_id").asc).limit(k)
+    graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
+      col("prox_tf").desc, col("doc_id").asc)
+  }
+
+  /** Ordered proximity top-k from the POSITIONAL index arm alone: same
+    * shard-local kernel shape as [[topKPositional]], counting for every
+    * co-occurring doc the pairs (p in pos(a), q in pos(b)) with
+    * 0 < q - p <= slop via two binary searches per leader position.
+    * Count-identical to [[proximityTopK]] (PhraseSpec property + shared
+    * DuckDB oracle). Honors tombstones; stale arm fails loudly.
+    */
+  def proximityTopKPositional(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, a: String, b: String,
+                              slop: Int, k: Int): DataFrame = {
+    require(slop >= 1, "proximityTopKPositional: slop must be >= 1")
+    positionalKernelTopK(spark, indexDir, Seq(a, b), k, "prox_tf") {
+      (slotPos: Array[Array[Long]]) =>
+        val posA = slotPos(0)
+        val posB = slotPos(1)
+        var cnt = 0L
+        var i = 0
+        while (i < posA.length) {
+          val p = posA(i)
+          // count posB in (p, p + slop]
+          val lo = {
+            val r = java.util.Arrays.binarySearch(posB, p + 1)
+            if (r >= 0) r else -r - 1
+          }
+          val hi = {
+            val r = java.util.Arrays.binarySearch(posB, p + slop + 1)
+            if (r >= 0) r else -r - 1
+          }
+          cnt += hi - lo
+          i += 1
+        }
+        cnt
+    }
+  }
+
   /** Docs whose postings contain EVERY distinct phrase term (conjunctive
     * candidate set). The term IN-filter pushes to the postings source; the
     * aggregation emits doc ids only.
@@ -105,10 +172,41 @@ object Phrase {
     * per shard the work is |rarest term's postings| binary searches.
     */
   def topKPositional(spark: org.apache.spark.sql.SparkSession,
-                     indexDir: String, phrase: Seq[String], k: Int): DataFrame = {
+                     indexDir: String, phrase: Seq[String], k: Int): DataFrame =
+    positionalKernelTopK(spark, indexDir, phrase, k, "phrase_tf") {
+      (slotPos: Array[Array[Long]]) =>
+        // adjacency: leader position p matches iff slot j holds p + j
+        val leader = slotPos(0)
+        var cnt = 0L
+        var li = 0
+        while (li < leader.length) {
+          val p = leader(li)
+          var ok = true
+          var j = 1
+          while (ok && j < slotPos.length) {
+            if (java.util.Arrays.binarySearch(slotPos(j), p + j) < 0) ok = false
+            j += 1
+          }
+          if (ok) cnt += 1
+          li += 1
+        }
+        cnt
+    }
+
+  /** Shared positional-kernel plumbing for phrase/proximity top-k:
+    * staleness gate, pushed-down term filter, shard-local doc-list
+    * intersection, tombstone check, then `countFn` over the per-SLOT
+    * position arrays (slot i = occurrences of `slotTerms(i)` in the doc;
+    * repeated terms share their array) — docs with count > 0 rank by
+    * (count desc, doc_id asc).
+    */
+  private def positionalKernelTopK(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String, slotTerms: Seq[String],
+                                   k: Int, countCol: String)(
+      countFn: Array[Array[Long]] => Long): DataFrame = {
     import spark.implicits._
-    require(phrase.nonEmpty, "topKPositional: empty phrase")
-    val distinctTerms = phrase.distinct
+    require(slotTerms.nonEmpty, "positionalKernelTopK: no terms")
+    val distinctTerms = slotTerms.distinct
     // staleness gate: the positional arm is rebuilt wholesale (not appended);
     // a queried term whose positional posting count no longer matches the
     // scoring df table means the arm predates an append — fail loudly
@@ -125,16 +223,16 @@ object Phrase {
       val want = dfCounts.getOrElse(t, 0L)
       val got = posCounts.getOrElse(t, 0L)
       require(got == want,
-        s"topKPositional: positional arm is stale for term '$t' " +
+        s"positionalKernelTopK: positional arm is stale for term '$t' " +
           s"($got positional postings vs df=$want) — re-run " +
           "PositionalIndex.build after appends")
     }
     if (distinctTerms.exists(t => dfCounts.getOrElse(t, 0L) == 0L))
-      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "phrase_tf")
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", countCol)
         .withColumn("rank", lit(1)).limit(0)
     val tomb = graft.index.PackedIndex.loadTombstones(indexDir)
     val bcTomb = spark.sparkContext.broadcast(tomb)
-    val bcPhrase = spark.sparkContext.broadcast(phrase.toArray)
+    val bcSlots = spark.sparkContext.broadcast(slotTerms.toArray)
     val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
     val counted = posRows
       .repartition(parts, col("shard"))
@@ -147,29 +245,29 @@ object Phrase {
             val shard = buf.head.shard
             val rows = scala.collection.mutable.ArrayBuffer.empty[graft.index.PosPostings]
             while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
-            shardPhraseCounts(rows.toSeq, bcPhrase.value, bcTomb.value)
+            shardSlotCounts(rows.toSeq, bcSlots.value, bcTomb.value, countFn)
           }
         }.flatten
       }
-      .toDF("doc_id", "phrase_tf")
-      .filter(col("phrase_tf") > 0)
+      .toDF("doc_id", countCol)
+      .filter(col(countCol) > 0)
     val bounded = counted
-      .orderBy(col("phrase_tf").desc, col("doc_id").asc).limit(k)
+      .orderBy(col(countCol).desc, col("doc_id").asc).limit(k)
     graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
-      col("phrase_tf").desc, col("doc_id").asc)
+      col(countCol).desc, col("doc_id").asc)
   }
 
-  /** Per-shard positional kernel: decode each phrase term's (docId ->
+  /** Per-shard positional kernel: decode each slot term's (docId ->
     * positions) within the shard, intersect the DISTINCT terms' sorted doc
-    * lists with a k-way merge, and for every surviving doc count leader
-    * positions p with p+j present in term_j's position set for all j
-    * (overlaps count, matching [[phraseCount]]). A (shard, term) may span
-    * multiple rows (appends land in new groups) — block lists are
-    * concatenated in base order like the WAND kernel does.
+    * lists with a k-way merge, and for every surviving doc apply `countFn`
+    * to the per-slot position arrays. A (shard, term) may span multiple
+    * rows (appends land in new groups) — block lists are concatenated in
+    * base order like the WAND kernel does.
     */
-  private[query] def shardPhraseCounts(rows: Seq[graft.index.PosPostings],
-                                       phrase: Array[String],
-                                       tomb: Array[Long]): Iterator[(Long, Long)] = {
+  private[query] def shardSlotCounts(rows: Seq[graft.index.PosPostings],
+                                     phrase: Array[String],
+                                     tomb: Array[Long],
+                                     countFn: Array[Array[Long]] => Long): Iterator[(Long, Long)] = {
     val byTerm = scala.collection.mutable.HashMap.empty[String, Array[graft.index.PackedPosBlock]]
     rows.foreach { r =>
       byTerm.get(r.term) match {
@@ -228,20 +326,7 @@ object Phrase {
               // cursor of t's list is aligned at cand
               possArr(idx)
             }
-            var cnt = 0L
-            val leader = slotPos(0)
-            var li = 0
-            while (li < leader.length) {
-              val p = leader(li)
-              var ok = true
-              var j = 1
-              while (ok && j < slotPos.length) {
-                if (java.util.Arrays.binarySearch(slotPos(j), p + j) < 0) ok = false
-                j += 1
-              }
-              if (ok) cnt += 1
-              li += 1
-            }
+            val cnt = countFn(slotPos)
             if (cnt > 0) out += ((cand, cnt))
           }
           // advance every list past the candidate

@@ -168,6 +168,52 @@ class PhraseSpec extends SparkSpec {
     assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
   }
 
+  test("proximityCount: ordered window pairs, hand-computed goldens") {
+    val t = tok(
+      0L -> "x a b a c b",   // a@2,4 b@3,6: (2,3) g1, (4,6) g2 -> 2 at slop 3
+      1L -> "b a",           // b BEFORE a: ordered count 0
+      2L -> "a x x x b",     // gap 4 > slop 3 -> 0
+      3L -> "a b b b")       // a@1, b@2,3,4: gaps 1,2,3 -> 3
+    val got = t.select(col("doc_id"),
+        Phrase.proximityCount(col("terms"), "a", "b", slop = 3).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    // same-term proximity: pairs of occurrences within the window
+    val same = t.select(col("doc_id"),
+        Phrase.proximityCount(col("terms"), "b", "b", slop = 3).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same(0L) == 1L && same(3L) == 3L) // b@3,6 gap3 -> 1; b@2,3,4 -> 3
+  }
+
+  test("proximity: positional kernel == declarative rescan (property)") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Array("a", "b", "c", "d")
+    val docs = (0 until 120).map { i =>
+      i.toLong -> Seq.fill(1 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val t = tok(docs: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-proxidx").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 5, groups = 2)
+    graft.index.PositionalIndex.build(t, dir)
+    val post = InvertedIndex.postings(t)
+    for ((a, b, slop) <- Seq(("a", "b", 1), ("a", "b", 3), ("c", "a", 5),
+        ("b", "b", 2))) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = rows(Phrase.proximityTopK(t, post, a, b, slop, 500))
+      val got = rows(Phrase.proximityTopKPositional(spark, dir, a, b, slop, 500))
+      assert(got == want, s"positional != rescan for ($a,$b,slop=$slop)")
+      assert(want.nonEmpty, s"degenerate fixture for ($a,$b,$slop)")
+    }
+    // slop=1 with distinct terms degenerates to the bigram phrase count
+    val bigram = Phrase.topK(t, post, Seq("a", "b"), 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prox1 = Phrase.proximityTopK(t, post, "a", "b", 1, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prox1 == bigram)
+  }
+
   test("duplicate-term phrase uses distinct terms for candidates") {
     val t = tok(0L -> "go go go", 1L -> "go stop go")
     val post = InvertedIndex.postings(t)
