@@ -30,14 +30,15 @@ final case class PosPostings(shard: Int, term: String, nPostings: Long,
   * alone). No reference analogue — the reference has no phrase operator —
   * engine-surface extension per SURVEY §2.10.
   *
-  * Build contract: call after (or any time later than) the scoring build
-  * with the SAME tokenized frame; the table is rewritten wholesale. The
-  * scoring index remains the source of truth for corpus stats and
-  * commit/append lineage — an appended index needs `build` re-run to keep
-  * the positional arm complete ([[graft.query.Phrase.topKPositional]]
-  * cross-checks each queried term's positional posting count against the
-  * scoring df table, so a stale arm fails loudly instead of silently
-  * missing phrase hits).
+  * Build contract: [[build]] after the scoring build with the SAME
+  * tokenized frame (one base segment); [[append]] after each
+  * PackedIndex.append with the same offset batch (one segment per append,
+  * cost ∝ the batch, atomic segment-list flip). The scoring index remains
+  * the source of truth for corpus stats and commit lineage — a positional
+  * arm that missed an append fails loudly
+  * ([[graft.query.Phrase.topKPositional]] cross-checks each queried term's
+  * positional posting count against the scoring df table) instead of
+  * silently missing phrase hits.
   */
 object PositionalIndex {
 
@@ -71,26 +72,23 @@ object PositionalIndex {
       }
   }
 
-  /** Build (or rebuild) the positional arm under `dir/positions` from the
-    * index's corpus. Same pack-shuffle shape as the scoring build: one
-    * (shard, term) repartition with x4 over-decomposition, streamed runs.
+  /** Pack a tokenized frame into positional rows (shared by build/append).
+    * Same pack-shuffle shape as the scoring build: one (shard, term)
+    * repartition with x4 over-decomposition, streamed runs.
     */
-  def build(tokenized: DataFrame, dir: String,
-            io: TableIO = ParquetDirIO,
-            meta: MetaIO = LocalMetaIO): Unit = {
+  private def pack(tokenized: DataFrame, shardBits: Int,
+                   blockSize: Int): DataFrame = {
     val spark = tokenized.sparkSession
     import spark.implicits._
-    val stats = PackedIndex.readStats(dir, meta)
     val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
-    val blockSize = stats.blockSize
     val withShard = positionsPerDoc(tokenized)
       .toDF("doc_id", "term", "positions")
-      .withColumn("shard", shiftright(col("doc_id"), stats.shardBits).cast("int"))
+      .withColumn("shard", shiftright(col("doc_id"), shardBits).cast("int"))
       .repartition(parts, col("shard"))
       .sortWithinPartitions(col("shard"), col("term"), col("doc_id"))
       .select(col("shard"), col("term"), col("doc_id"), col("positions"))
       .as[(Int, String, Long, Array[Long])]
-    val packed = withShard.mapPartitions { it =>
+    withShard.mapPartitions { it =>
       new Iterator[PosPostings] {
         private val buf = it.buffered
         def hasNext: Boolean = buf.hasNext
@@ -108,20 +106,70 @@ object PositionalIndex {
           PosPostings(shard, term, docs.length.toLong, blocks)
         }
       }
-    }
-    io.write(packed.toDF(), s"$dir/positions")
+    }.toDF()
   }
 
-  /** Read the positional arm; fails loudly when absent. */
+  /** Sidecar naming the arm's segment dirs, one per line (MetaIO-atomic —
+    * readers see the old or the new complete list). Absent on pre-segment
+    * arms, which consist of the single legacy `positions` dir.
+    */
+  private def segmentList(dir: String, meta: MetaIO): Seq[String] =
+    if (meta.exists(s"$dir/positions.list"))
+      meta.readString(s"$dir/positions.list")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq("positions")
+
+  /** Build (or rebuild) the positional arm from the index's full corpus:
+    * one base segment, resetting any appended segments.
+    */
+  def build(tokenized: DataFrame, dir: String,
+            io: TableIO = ParquetDirIO,
+            meta: MetaIO = LocalMetaIO): Unit = {
+    val stats = PackedIndex.readStats(dir, meta)
+    io.write(pack(tokenized, stats.shardBits, stats.blockSize),
+      s"$dir/positions")
+    meta.writeAtomic(s"$dir/positions.list", "positions")
+  }
+
+  /** Extend the positional arm with NEWLY APPENDED docs only (cost ∝ the
+    * batch, like PackedIndex.append): the batch packs into a fresh segment
+    * dir, then the segment list flips atomically — a crash in between
+    * leaves an orphan dir that readers never see and that an append retry
+    * overwrites (the segment id derives from the committed list, so the
+    * retry is idempotent). `newTokenized` must carry the docs' FINAL ids,
+    * i.e. the same offset frame handed to PackedIndex.append.
+    */
+  def append(newTokenized: DataFrame, dir: String,
+             io: TableIO = ParquetDirIO,
+             meta: MetaIO = LocalMetaIO): Unit = {
+    val stats = PackedIndex.readStats(dir, meta)
+    val segs = segmentList(dir, meta)
+    require(io.committed(s"$dir/${segs.head}"),
+      s"PositionalIndex.append: no committed positional arm at $dir — " +
+        "run PositionalIndex.build first")
+    val next = s"positions-a${segs.length}"
+    io.write(pack(newTokenized, stats.shardBits, stats.blockSize),
+      s"$dir/$next")
+    meta.writeAtomic(s"$dir/positions.list", (segs :+ next).mkString("\n"))
+  }
+
+  /** Read the positional arm (union of committed segments); fails loudly
+    * when absent.
+    */
   def load(spark: SparkSession, dir: String,
            io: TableIO = ParquetDirIO,
            meta: MetaIO = LocalMetaIO): Dataset[PosPostings] = {
     import spark.implicits._
-    require(io.committed(s"$dir/positions"),
-      s"PositionalIndex.load: no committed positional arm at $dir/positions " +
-        "— run PositionalIndex.build over the index corpus first")
-    io.read(spark, s"$dir/positions")
-      .selectExpr("shard", "term", "nPostings", "blocks")
+    val segs = segmentList(dir, meta)
+    segs.foreach { s =>
+      require(io.committed(s"$dir/$s"),
+        s"PositionalIndex.load: segment $s missing/uncommitted at $dir " +
+          "— run PositionalIndex.build over the index corpus first")
+    }
+    segs.iterator
+      .map(s => io.read(spark, s"$dir/$s")
+        .selectExpr("shard", "term", "nPostings", "blocks"))
+      .reduce(_ unionByName _)
       .as[PosPostings]
   }
 }

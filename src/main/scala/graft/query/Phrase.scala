@@ -224,8 +224,8 @@ object Phrase {
       val got = posCounts.getOrElse(t, 0L)
       require(got == want,
         s"positionalKernelTopK: positional arm is stale for term '$t' " +
-          s"($got positional postings vs df=$want) — re-run " +
-          "PositionalIndex.build after appends")
+          s"($got positional postings vs df=$want) — run " +
+          "PositionalIndex.append for the missed batch (or build to reset)")
     }
     if (distinctTerms.exists(t => dfCounts.getOrElse(t, 0L) == 0L))
       return spark.emptyDataset[(Long, Long)].toDF("doc_id", countCol)

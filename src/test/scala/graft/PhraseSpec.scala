@@ -159,13 +159,39 @@ class PhraseSpec extends SparkSpec {
       Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10).collect()
     }
     assert(ex.getMessage.contains("stale"))
-    // rebuilding the arm over the full corpus restores service
-    graft.index.PositionalIndex.build(
-      tok(0L -> "table scan x", 1L -> "y table scan",
-        2L -> "table scan table scan"), dir)
+    // INCREMENTAL catch-up: append only the missed batch (cost ∝ batch)
+    graft.index.PositionalIndex.append(extra, dir)
     val hits = Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+    // the appended arm is count-identical to a full rebuild
+    graft.index.PositionalIndex.build(
+      tok(0L -> "table scan x", 1L -> "y table scan",
+        2L -> "table scan table scan"), dir)
+    val rebuilt = Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rebuilt == hits)
+  }
+
+  test("positional append: orphan segment dirs are invisible until the list flips") {
+    val t = tok(0L -> "table scan a", 1L -> "b table scan")
+    val dir = java.nio.file.Files.createTempDirectory("graft-posorphan").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 2, groups = 1)
+    graft.index.PositionalIndex.build(t, dir)
+    val before = Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10)
+      .collect().map(_.getLong(0)).toSet
+    // simulate a crash AFTER the segment write, BEFORE the list flip:
+    // fabricate an orphan segment dir (copy of the base) with no list entry
+    val meta = graft.io.LocalMetaIO
+    def copyRec(s: java.io.File, d: java.io.File): Unit =
+      if (s.isDirectory) { d.mkdirs(); s.listFiles.foreach(c => copyRec(c, new java.io.File(d, c.getName))) }
+      else java.nio.file.Files.copy(s.toPath, d.toPath)
+    copyRec(new java.io.File(s"$dir/positions"),
+      new java.io.File(s"$dir/positions-a1"))
+    val after = Phrase.topKPositional(spark, dir, Seq("table", "scan"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(after == before, "orphan positional segment leaked into results")
+    assert(meta.readString(s"$dir/positions.list").trim == "positions")
   }
 
   test("proximityCount: ordered window pairs, hand-computed goldens") {
