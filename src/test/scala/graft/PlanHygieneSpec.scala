@@ -26,6 +26,15 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term, [the,w5])]"), plan.take(800))
   }
 
+  test("positional rows scan pushes the term IN filter to parquet") {
+    graft.index.PositionalIndex.build(
+      corpus.PagesPipeline.tokenized(spark.read.parquet(s"$dir/docs_raw")), dir)
+    val plan = graft.index.PositionalIndex.load(spark, dir)
+      .filter(col("term").isin("the", "w5"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term, [the,w5])]"), plan.take(800))
+  }
+
   test("documents scan prunes columns and pushes filters") {
     val plan = DocsCorpus.documents(spark, "/root/testdata/sf0.001")
       .filter(col("lang") === "en")
