@@ -167,6 +167,16 @@ object SparkEntry {
         allowedDocs = Some(allowedIds))
     }),
 
+    // S9/J7 minimum_should_match retrieval (Elasticsearch msm semantics):
+    // only docs matching >= 3 of the query's distinct terms qualify;
+    // qualifying docs score exactly as plain BM25. Exercised through the
+    // WAND kernel's aligned-cursor count gate; oracle = exhaustive scoring
+    // with a HAVING count(DISTINCT term) clause.
+    "q_bm25_msm_topk" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      graft.query.Wand.search(s, idx, contractQueryBatch, k = 200,
+        minShouldMatch = 3)
+    }),
+
     // §2.10 tombstone delete, driver-exercised: build, delete every zh doc,
     // query. Visibility-only semantics — idf/avgdl stay FULL-corpus (stats
     // frozen until compaction, like Lucene pre-merge), deleted docs are
@@ -408,6 +418,22 @@ object SparkEntry {
       "q_phrase_positional_topk" -> phraseOracle(ctes),
       "q_proximity_topk" -> proximityOracle(ctes),
       "q_proximity_positional_topk" -> proximityOracle(ctes),
+
+      // minimum_should_match: candidates need >= 3 distinct matched query
+      // terms; scores/stats unchanged for qualifiers
+      "q_bm25_msm_topk" ->
+        (ctes +
+          s""", scored AS (
+             |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+             |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |  GROUP BY tf.doc_id
+             |  HAVING count(DISTINCT tf.term) >= 3
+             |), ranked AS (
+             |  SELECT doc_id, score_r,
+             |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // tombstone semantics: stats full-corpus, deleted docs excluded from
       // candidates only

@@ -105,10 +105,19 @@ object Wand {
     * list must fit in a broadcast); a non-selective filter should instead
     * pre-restrict the corpus at index-build time.
     */
+  /** @param minShouldMatch Elasticsearch `minimum_should_match` semantics:
+    *        only docs matching at least this many DISTINCT query terms may
+    *        enter the heap (1 = plain disjunctive retrieval; |terms| =
+    *        conjunctive AND). Scoring of qualifying docs is unchanged —
+    *        the constraint restricts candidates, never the formula, so the
+    *        oracle is the exhaustive ranking filtered by a distinct-match
+    *        count (one shared DuckDB HAVING clause).
+    */
   def search(spark: SparkSession, indexDir: String,
              queries: Seq[(Long, String)], k: Int,
              allowedDocs: Option[Array[Long]] = None,
-             meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
+             meta: graft.io.MetaIO = graft.io.LocalMetaIO,
+             minShouldMatch: Int = 1): DataFrame = {
     val (stats, prepared) = prepare(spark, indexDir, queries, meta)
     val terms = prepared.flatMap(_.idf.keys).distinct
     import spark.implicits._
@@ -148,7 +157,7 @@ object Wand {
             val rows = scala.collection.mutable.ArrayBuffer.empty[PackedPostings]
             while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
             shardSearch(rows.iterator, qs, st, k, bcAllowed.value,
-              bcDenied.value)
+              bcDenied.value, minShouldMatch)
           }
         }.flatten
       }
@@ -476,7 +485,8 @@ object Wand {
   def shardSearch(rows: Iterator[PackedPostings], queries: Seq[PreparedQuery],
                   stats: IndexStats, k: Int,
                   allowed: Array[Long] = null,
-                  denied: Array[Long] = null): Iterator[Hit] = {
+                  denied: Array[Long] = null,
+                  minShouldMatch: Int = 1): Iterator[Hit] = {
     val p0 = stats.params
     val rawByTerm = scala.collection.mutable.HashMap.empty[String, Array[PackedBlock]]
     rows.foreach { r =>
@@ -499,10 +509,10 @@ object Wand {
         case (t, idf) if byTerm.contains(t) && idf != 0.0 =>
           new Cursor(t, idf, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
       }.toArray
-      if (cursors.isEmpty) Iterator.empty
+      if (cursors.isEmpty || cursors.length < minShouldMatch) Iterator.empty
       else {
         val heap = new TopKHeap(kEff)
-        wandLoop(cursors, q, heap, stats, allowed, denied)
+        wandLoop(cursors, q, heap, stats, allowed, denied, minShouldMatch)
         heap.drain().map { case (s, d) => Hit(q.queryId, d, s) }
       }
     }
@@ -536,14 +546,17 @@ object Wand {
   private def wandLoop(cursors: Array[Cursor], q: PreparedQuery,
                        heap: TopKHeap, stats: IndexStats,
                        allowed: Array[Long] = null,
-                       denied: Array[Long] = null): Unit = {
+                       denied: Array[Long] = null,
+                       minShouldMatch: Int = 1): Unit = {
     val byTerm = new java.util.HashMap[String, Cursor](cursors.length * 2)
     cursors.foreach(c => byTerm.put(c.term, c))
     val arr = new Array[Cursor](cursors.length)
     var nActive = 0
     cursors.foreach { c => if (!c.exhausted) { arr(nActive) = c; nActive += 1 } }
 
-    while (nActive > 0) {
+    // minimum_should_match: fewer live cursors than the requirement means
+    // no remaining doc can qualify (each cursor is one distinct term)
+    while (nActive >= math.max(1, minShouldMatch)) {
       // insertion sort by curDoc (tiny, nearly sorted)
       var si = 1
       while (si < nActive) {
@@ -585,15 +598,24 @@ object Wand {
         // all cursors before pivot are aligned at pivotDoc:
         // refine with BLOCK-level bounds before full evaluation
         var blockAcc = 0.0
+        var aligned = 0
         var j = 0
-        while (j <= pivotIdx) { arr(j).seek(pivotDoc); blockAcc += arr(j).blockUb; j += 1 }
+        while (j <= pivotIdx) {
+          arr(j).seek(pivotDoc); blockAcc += arr(j).blockUb
+          if (arr(j).curDoc == pivotDoc) aligned += 1
+          j += 1
+        }
         // include later cursors that happen to sit on pivotDoc
-        while (j < nActive && arr(j).curDoc == pivotDoc) { blockAcc += arr(j).blockUb; j += 1 }
+        while (j < nActive && arr(j).curDoc == pivotDoc) {
+          blockAcc += arr(j).blockUb; aligned += 1; j += 1
+        }
         // pivotAllowed holds here: the allowlist case was handled above.
         // Tombstones are a DENYLIST over a dense complement, so there is no
         // jump target to seek to — just skip the evaluation (cursors still
-        // advance past the doc below).
-        if (blockAcc >= theta &&
+        // advance past the doc below). `aligned` counts the distinct query
+        // terms present in the doc — the minimum_should_match gate
+        // (scoring itself is unchanged for qualifying docs).
+        if (aligned >= minShouldMatch && blockAcc >= theta &&
             (denied == null ||
               java.util.Arrays.binarySearch(denied, pivotDoc) < 0)) {
           val s = evalDoc(pivotDoc, q, byTerm, stats)

@@ -164,6 +164,47 @@ class PackedIndexSpec extends SparkSpec {
     assert(full == unfiltered, "all-docs allowlist must equal unfiltered run")
   }
 
+  test("minimum_should_match == exhaustive oracle filtered by distinct-match count") {
+    val docs = randomCorpus(nDocs = 700, vocab = 150, seed = 71)
+    val oracle = new Bm25.Oracle(docs, P)
+    val dir = Files.createTempDirectory("graft-msm").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    val queries: Seq[(Long, String)] = Seq(
+      1L -> "t0 t1 t5 t20", 2L -> "t100 t140 t7", 3L -> "t0 t0 t42")
+    val k = 10
+    for (mm <- 1 to 4) {
+      val got = Wand.search(spark, dir, queries, k, minShouldMatch = mm)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+      queries.foreach { case (qid, text) =>
+        val qTerms = text.split(" ").distinct
+        def matched(docId: Long): Int =
+          qTerms.count(t => docs(docId.toInt).contains(t))
+        val want = oracle.topK(text.split(" ").toSeq, 0).filter(_._2 != 0.0)
+          .filter { case (d, _) => matched(d) >= mm }.take(k)
+        assert(got.getOrElse(qid, Seq.empty) == want,
+          s"msm=$mm mismatch for q$qid")
+      }
+    }
+    // mm above the query's distinct term count: provably empty
+    assert(Wand.search(spark, dir, queries, k, minShouldMatch = 5).count() == 0)
+    // mm composes with the allowlist (both restrict candidates only)
+    val allowed = (0L until 700L).filter(_ % 2 == 0).toArray
+    val both = Wand.search(spark, dir, queries, k, Some(allowed),
+      minShouldMatch = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSet
+    queries.foreach { case (qid, text) =>
+      val qTerms = text.split(" ").distinct
+      val want = oracle.topK(text.split(" ").toSeq, 0).filter(_._2 != 0.0)
+        .filter { case (d, _) =>
+          d % 2 == 0 && qTerms.count(t => docs(d.toInt).contains(t)) >= 2 }
+        .take(k).map { case (d, s) => (qid, d, s) }.toSet
+      assert(both.filter(_._1 == qid) == want, s"msm+allowlist broke for q$qid")
+    }
+  }
+
   test("WAND parity under heavy stopword skew (salt/split stress)") {
     // 90% of tokens drawn from 3 stopwords -> giant posting lists
     val rnd = new scala.util.Random(11)
