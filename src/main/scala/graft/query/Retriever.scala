@@ -13,14 +13,18 @@ trait Retriever extends Serializable {
 
 /** Sparse lexical retriever over a packed index dir — `BM25Retrieval`.
   * `allowedDocs` is the optional ES-style filter context (candidates
-  * restricted, stats full-corpus); tombstoned docs are always excluded.
+  * restricted, stats full-corpus); `minShouldMatch` the ES msm gate
+  * (docs must match >= m distinct query terms); tombstoned docs are
+  * always excluded. All options compose.
   */
 final class Bm25WandRetriever(indexDir: String,
-                              allowedDocs: Option[Array[Long]] = None)
+                              allowedDocs: Option[Array[Long]] = None,
+                              minShouldMatch: Int = 1)
     extends Retriever {
   override def search(spark: SparkSession, queries: Seq[(Long, String)],
                       k: Int): DataFrame =
-    Wand.search(spark, indexDir, queries, k, allowedDocs)
+    Wand.search(spark, indexDir, queries, k, allowedDocs,
+      minShouldMatch = minShouldMatch)
 }
 
 /** Dense retriever over an embeddings table — the `AutoModelForRetrieval`

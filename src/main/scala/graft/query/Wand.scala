@@ -206,7 +206,8 @@ object Wand {
                io: graft.io.TableIO = graft.io.ParquetDirIO,
                stagingDir: Option[String] = None,
                allowedDocs: Option[Array[Long]] = None,
-               meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
+               meta: graft.io.MetaIO = graft.io.LocalMetaIO,
+               minShouldMatch: Int = 1): DataFrame = {
     val q = queries.select(col("query_id").cast("long"), col("text").cast("string"))
     val n = q.count()
     if (n == 0) return search(spark, indexDir, Nil, k)
@@ -215,7 +216,7 @@ object Wand {
       // bounded batch: one chunk == the Seq path; staging would only add a
       // write+read round-trip
       val chunk = q.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
-      return search(spark, indexDir, chunk, k, allowedDocs)
+      return search(spark, indexDir, chunk, k, allowedDocs, meta, minShouldMatch)
     }
     val ownStaging = stagingDir.isEmpty
     val staging = stagingDir.getOrElse(meta.createTempDir("graft-searchds"))
@@ -246,7 +247,7 @@ object Wand {
       require(chunk.length.toLong == perChunk(c),
         s"searchDs: staged chunk $c holds ${chunk.length} of the " +
           s"${perChunk(c)} accounted queries — partition vanished mid-run")
-      io.write(search(spark, indexDir, chunk, k, allowedDocs),
+      io.write(search(spark, indexDir, chunk, k, allowedDocs, meta, minShouldMatch),
         s"$staging/hits/chunk=$c")
     }
     {

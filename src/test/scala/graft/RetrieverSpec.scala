@@ -143,6 +143,25 @@ class RetrieverSpec extends SparkSpec {
     assert(ex.getMessage.contains("incomplete"))
   }
 
+  test("minimum_should_match plumbs through searchDs and the retriever") {
+    val dir = Files.createTempDirectory("graft-dsq-msm").toString
+    corpus.PagesPipeline.buildIndex(
+      corpus.PagesGen.pages(spark, 300, 4).toDF(), dir, shardBits = 6, groups = 2)
+    val batch = Bench.queryBatch(40)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val seqHits = rows(graft.query.Wand.search(spark, dir, batch, 10,
+      minShouldMatch = 2))
+    val dsHits = rows(graft.query.Wand.searchDs(spark, dir,
+      batch.toDF("query_id", "text"), 10, chunkSize = 7, minShouldMatch = 2))
+    assert(dsHits == seqHits)
+    assert(seqHits.nonEmpty)
+    val plain = rows(graft.query.Wand.search(spark, dir, batch, 10))
+    assert(seqHits != plain, "fixture degenerate: msm=2 changed nothing")
+    val retr = new graft.query.Bm25WandRetriever(dir, minShouldMatch = 2)
+    assert(rows(retr.search(spark, batch, 10)) == seqHits)
+  }
+
   test("df cache: one load per index version; append invalidates it") {
     def tokDf(rows: (Long, String)*) = graft.index.InvertedIndex.tokenize(
       rows.toDF("doc_id", "text"), "doc_id", "text")
