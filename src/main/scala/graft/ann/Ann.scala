@@ -137,8 +137,15 @@ object Ann {
   }
 
   def ivfTopK(queries: DataFrame, corpusWithCell: DataFrame,
-              centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val probes = probeCells(queries, centroids, nProbe)
+              centroids: DataFrame, k: Int, nProbe: Int): DataFrame =
+    ivfTopKWithProbes(probeCells(queries, centroids, nProbe), corpusWithCell, k)
+
+  /** IVF scoring given an already-selected probe set (query_id, qvec,
+    * cell_id) — lets [[ivfSweep]] reuse one probe computation for both
+    * scanned-fraction accounting and scoring.
+    */
+  def ivfTopKWithProbes(probes: DataFrame, corpusWithCell: DataFrame,
+                        k: Int): DataFrame = {
     val scored = corpusWithCell.join(broadcast(probes), Seq("cell_id"))
       .withColumn("cos", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("query_id"))
@@ -172,11 +179,13 @@ object Ann {
       .select(col("query_id").cast("long"), col("vec_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rows = nProbes.map { np =>
-      val probed = probeCells(queries, centroids, np)
-        .select(col("query_id"), col("cell_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val scanned = probed.map { case (_, c) => cellSizes.getOrElse(c, 0L) }.sum
-      val approx = ivfTopK(queries, corpusWithCell, centroids, k, np)
+      // ONE probe selection per point, reused by accounting AND scoring
+      // (localCheckpoint pins it so the scoring join doesn't recompute the
+      // centroid window)
+      val probes = probeCells(queries, centroids, np).localCheckpoint()
+      val scanned = probes.select(col("cell_id"))
+        .collect().map(r => cellSizes.getOrElse(r.getLong(0), 0L)).sum
+      val approx = ivfTopKWithProbes(probes, corpusWithCell, k)
         .select(col("query_id"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exactPairs & approx).size.toDouble / exactPairs.size

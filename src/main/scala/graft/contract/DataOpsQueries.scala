@@ -89,12 +89,13 @@ object DataOpsQueries {
     // driver check is rows-only). The query carries its own driver-visible
     // quality oracle instead: `in_exact_topk` marks whether each IVF hit is
     // in the query's EXACT brute-force top-k — the fraction of true rows is
-    // the recall that DedupAnnSpec gates (>= 0.9 at this nProbe) in CI.
-    // Operating point (nProbe=12 of 16 cells, ~0.75 of the corpus scanned)
-    // chosen from the q_ann_ivf_sweep table: the synthetic embeddings are
-    // near-isotropic (intra-label cosine ~0.02), so high recall is
-    // intrinsically expensive on THIS corpus — on separable data the same
-    // code reaches >=0.9 recall scanning <15% (DedupAnnSpec pins that).
+    // the recall. DedupAnnSpec gates THIS configuration (same corpus,
+    // nCells=16/iters=4/nProbe=12) at >= 0.9 in CI. Operating point
+    // (~0.75 of the corpus scanned) chosen from the q_ann_ivf_sweep table:
+    // the synthetic embeddings are near-isotropic (intra-label cosine
+    // ~0.02), so high recall is intrinsically expensive on THIS corpus —
+    // on separable data the same code reaches >=0.9 recall scanning <=25%
+    // (~19% measured; DedupAnnSpec pins that too).
     "q_ann_ivf_topk" -> ((s, dir) => {
       val emb = DocsCorpus.table(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))

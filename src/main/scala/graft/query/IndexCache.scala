@@ -29,7 +29,10 @@ object IndexCache {
     */
   val MaxCachedTerms: Long = 1000000L
 
-  // dir -> (stats.json version, Some(term->df) | None=vocabulary too large)
+  // dir -> (stats.json version, Some(term->df) | None=vocabulary too large).
+  // Keyed by dir alone: the io/meta arguments only matter on the loading
+  // call — mixing different TableIO implementations for one dir string is
+  // not a supported pattern (the dir names one physical index).
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Map[String, Long]])]()
 
@@ -58,9 +61,12 @@ object IndexCache {
   private def load(spark: SparkSession, dir: String, io: TableIO,
                    meta: MetaIO): Option[Map[String, Long]] = {
     loadCounter.incrementAndGet()
-    val df = PackedIndex.loadDf(spark, dir, io, meta)
-    if (df.count() > MaxCachedTerms) None
-    else Some(df.select(col("term"), col("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // ONE job: collect up to the cap + 1 rows — an over-cap vocabulary is
+    // detected from the overflow row without a separate count() pass
+    val rows = PackedIndex.loadDf(spark, dir, io, meta)
+      .select(col("term"), col("df"))
+      .limit(MaxCachedTerms.toInt + 1).collect()
+    if (rows.length > MaxCachedTerms) None
+    else Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 }

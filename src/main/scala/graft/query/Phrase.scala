@@ -207,13 +207,20 @@ object Phrase {
     import spark.implicits._
     require(slotTerms.nonEmpty, "positionalKernelTopK: no terms")
     val distinctTerms = slotTerms.distinct
-    // staleness gate: the positional arm is rebuilt wholesale (not appended);
-    // a queried term whose positional posting count no longer matches the
-    // scoring df table means the arm predates an append — fail loudly
-    val dfCounts = graft.index.PackedIndex.loadDf(spark, indexDir)
-      .filter(col("term").isin(distinctTerms: _*))
-      .select(col("term"), col("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // staleness gate: a queried term whose positional posting count no
+    // longer matches the scoring df table means the arm missed an append —
+    // fail loudly. df lookups ride the same version-invalidated cache the
+    // WAND serving path uses (no per-query df scan for bounded vocabularies)
+    val dfCounts: Map[String, Long] =
+      IndexCache.dfMap(spark, indexDir) match {
+        case Some(full) =>
+          distinctTerms.iterator.flatMap(t => full.get(t).map(t -> _)).toMap
+        case None =>
+          graft.index.PackedIndex.loadDf(spark, indexDir)
+            .filter(col("term").isin(distinctTerms: _*))
+            .select(col("term"), col("df"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     val posRows = graft.index.PositionalIndex.load(spark, indexDir)
       .filter(col("term").isin(distinctTerms: _*))
     val posCounts = posRows.groupBy(col("term"))

@@ -204,6 +204,24 @@ class DedupAnnSpec extends SparkSpec {
       Set(a, b).contains(3L) || Set(a, b).contains(4L) })
   }
 
+  test("contract IVF operating point (nProbe=12/16, iters=4) holds >= 0.9 recall") {
+    // gates the EXACT configuration q_ann_ivf_topk ships (same corpus,
+    // same parameters) so a Lloyd/assignment regression that drops the
+    // driver-visible recall is caught in CI, not in the round artifact
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cents = Ann.lloyd(corpus, Ann.seedCentroids(corpus, nCells = 16), iters = 4)
+    val withCell = Ann.assignCells(corpus, cents)
+    val exact = Ann.bruteForceTopK(queries, corpus, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Ann.ivfTopK(queries, withCell, cents, 10, nProbe = 12).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"contract operating-point recall regressed: $recall")
+  }
+
   test("IVF on separable clusters: recall >= 0.9 scanning a small fraction") {
     // the q_ann_ivf contract corpus is near-isotropic noise (recall there is
     // intrinsically scan-bound); this fixture has REAL cluster structure and
@@ -227,7 +245,7 @@ class DedupAnnSpec extends SparkSpec {
     val (np3, recall3, scanned3) = sweep(2)
     assert(np3 == 3)
     assert(recall3 >= 0.9, s"clustered-data recall at nProbe=3: $recall3")
-    assert(scanned3 <= 0.3, s"scanned fraction at nProbe=3: $scanned3")
+    assert(scanned3 <= 0.25, s"scanned fraction at nProbe=3: $scanned3")
     // recall is monotone in nProbe and exact at full probe (== brute force)
     val recalls = sweep.map(_._2)
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-12 },
