@@ -36,7 +36,7 @@ object DedupBench {
     // skip the completed ones
     val families: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
-      else Set("exact", "minhash", "simhash", "simhash_wide", "jaccard")
+      else Set("exact", "minhash", "simhash", "simhash_wide", "jaccard", "embed")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       // x4 over-decomposition keeps per-task shuffle state small on the
@@ -150,6 +150,48 @@ object DedupBench {
       val jacTotal = jacFreq.agg(count(lit(1)), sum(col("freq"))).first()
       line("jaccard_pairs_hashed", jacSec,
         s""""pairs":$jacPairs,"shingle_cap":$jacCap,"shingles_dropped":${jacDrop.getLong(0)},"instances_dropped":${jacDrop.getLong(1)},"shingles_total":${jacTotal.getLong(0)},"instances_total":${jacTotal.getLong(1)}""")
+    }
+
+    if (families("embed")) {
+      // Embedding near-dup at corpus scale. The pages corpus has no real
+      // embedding column, so one is SYNTHESIZED deterministically from the
+      // text (16-dim hashed random projection: one xxhash64 per token, dim i
+      // sums +-1 by bit i of the digest — template-near-dup docs get
+      // near-identical vectors, the shape the operator exists for). The
+      // embedding build is untimed staging; the timed section is the
+      // capped multi-table sign-LSH candidate join + exact cosine re-check.
+      val dims = 16
+      val embPath = s"$tmp/emb"
+      val toks = graft.tokenize.PyTokenize.asciiSplit(lower(col("text")))
+      val sums = (0 until dims).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1.0)
+          .otherwise(-1.0)).as(s"d$i"))
+      docs.select(col("doc_id"), explode(toks).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id").as("vec_id"),
+          array((0 until dims).map(i => col(s"d$i")): _*).as("embedding"))
+        .write.mode("overwrite").parquet(embPath)
+      val emb = spark.read.parquet(embPath)
+      val nVec = emb.count()
+      val embCap = 200
+      val embTables = 8
+      val bits = Dedup.signLshBits(nVec)
+      val (embSec, embPairs) = timed {
+        Dedup.embeddingCosinePairs(emb, threshold = 0.9,
+          maxBucketSize = embCap, numTables = embTables, bits = bits).count()
+      }
+      // drop accounting (untimed): (table, bucket) groups over the cap —
+      // same bucketing code the operator ran
+      val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val embBuckets = Dedup.embeddingLshBuckets(v, bits, embTables)
+        .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("bsz"))
+      val embDrop = embBuckets.filter(col("bsz") > embCap)
+        .agg(coalesce(count(lit(1)), lit(0L)),
+          coalesce(sum(col("bsz")), lit(0L))).first()
+      println(s"""{"family":"embed_neardup_lsh","sec":${f"$embSec%.2f"},"vecs_per_sec":${f"${nVec / embSec}%.0f"},"pairs":$embPairs,"lsh_bits":$bits,"num_tables":$embTables,"bucket_cap":$embCap,"buckets_dropped":${embDrop.getLong(0)},"rows_dropped":${embDrop.getLong(1)},"n_vecs":$nVec}""")
     }
 
     val calib1 = Bench.calibMops()

@@ -349,14 +349,57 @@ object Dedup {
 
   // ---- embedding cosine ------------------------------------------------
 
-  /** Embedding near-dup pairs: cosine >= threshold. Candidates via sign-LSH
-    * (random-hyperplane bit buckets from seeded xxhash64 pseudo-planes) to
-    * avoid the quadratic pair space; exact cosine re-check on candidates.
-    * For corpora small enough, `bruteForce = true` skips bucketing.
+  /** Sign-LSH bucket width that tracks corpus size (the [[simhashWide]]
+    * precedent for chunk keys): expected bucket size N / 2^bits stays ~16
+    * regardless of N, so the candidate join's per-bucket fan-out is flat
+    * out to billions of vectors instead of growing linearly as a fixed
+    * width would. Clamped to [8, 30].
+    */
+  private[graft] def signLshBits(n: Long): Int = {
+    val target = 16.0
+    val raw = math.ceil(math.log(math.max(1L, n).toDouble / target) / math.log(2.0)).toInt
+    math.min(30, math.max(8, raw))
+  }
+
+  /** (vec_id, vec, tbl, bucket) — one row per (vector, hash table), bucket =
+    * that table's sign-LSH key. Shared by [[embeddingCosinePairs]] and the
+    * bench's drop accounting so both see the identical bucketing.
+    */
+  private[graft] def embeddingLshBuckets(v: DataFrame, bits: Int,
+                                         numTables: Int): DataFrame =
+    v.select(col("vec_id"), col("vec"),
+      posexplode(array((0 until numTables).map(t =>
+        graft.ann.Ann.signLshBucket(col("vec"), bits, 42 + t)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+
+  /** Embedding near-dup pairs: cosine >= threshold. Candidates via
+    * multi-table sign-LSH (random-hyperplane bit buckets from seeded
+    * xxhash64 pseudo-planes) to avoid the quadratic pair space; exact
+    * cosine re-check on candidates. For corpora small enough,
+    * `bruteForce = true` skips bucketing.
+    *
+    * Scale contract (same treatment as every other candidate family here):
+    *  - `bits` defaults to [[signLshBits]](N) — the key space tracks
+    *    log2(N) so expected bucket size stays ~16 at any corpus size (a
+    *    fixed width would put N/2^bits vectors in every bucket and the
+    *    join would go quadratic at 10^7+ docs);
+    *  - hot buckets (near-zero vectors, template embeddings) are DROPPED by
+    *    the `maxBucketSize` frequency cap exactly like the shingle / band /
+    *    chunk joins — a single skewed bucket can no longer explode the
+    *    self-join (the bench publishes how much the cap dropped);
+    *  - `numTables` independent hash tables recover the recall that wider
+    *    keys cost: a pair at angle theta collides in one table with
+    *    p = (1 - theta/pi)^bits, overall recall = 1-(1-p)^numTables —
+    *    at cosine 0.99 and bits=20 that is ~0.98 with the default 8 tables
+    *    (near-dup thresholds live in the >=0.9 cosine regime; raise
+    *    numTables for lower thresholds).
     */
   def embeddingCosinePairs(emb: DataFrame, threshold: Double,
                            bruteForce: Boolean = false,
-                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           maxBucketSize: Int = 200,
+                           numTables: Int = 8,
+                           bits: Int = 0): DataFrame = {
     val v = emb.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("vec"))
     val candidates =
@@ -365,11 +408,21 @@ object Dedup {
         val b = v.select(col("vec_id").as("doc_b"), col("vec").as("vec_b"))
         a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
       } else {
-        val bucketed = v.withColumn("bucket", graft.ann.Ann.signLshBucket(col("vec"), 12, 42))
-        val a = bucketed.select(col("bucket"), col("vec_id").as("doc_a"), col("vec").as("vec_a"))
-        val b = bucketed.select(col("bucket"), col("vec_id").as("doc_b"), col("vec").as("vec_b"))
-        a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
-          .drop("bucket").distinct()
+        // one narrow count fixes the key width; the LSH path is multi-pass
+        // anyway and the count is column-pruned
+        val useBits = if (bits > 0) bits else signLshBits(v.count())
+        val bucketed = embeddingLshBuckets(v, useBits, numTables)
+        val small = bucketed.join(
+          bucketed.groupBy(col("tbl"), col("bucket"))
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= maxBucketSize).select("tbl", "bucket"),
+          Seq("tbl", "bucket"))
+        val a = small.select(col("tbl"), col("bucket"),
+          col("vec_id").as("doc_a"), col("vec").as("vec_a"))
+        val b = small.select(col("tbl"), col("bucket"),
+          col("vec_id").as("doc_b"), col("vec").as("vec_b"))
+        a.join(b, Seq("tbl", "bucket")).filter(col("doc_a") < col("doc_b"))
+          .drop("tbl", "bucket").distinct()
       }
     candidates
       .withColumn("cos", graft.ann.Ann.cosine(col("vec_a"), col("vec_b")))

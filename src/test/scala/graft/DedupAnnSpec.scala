@@ -276,6 +276,52 @@ class DedupAnnSpec extends SparkSpec {
     })
   }
 
+  test("embedding near-dup LSH path: high recall vs brute force on dup clusters") {
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    // 15 dup groups of 3 near-identical vectors + 100 background vectors
+    val groups = Array.fill(15)(Array.fill(dim)(rnd.nextGaussian()))
+    def nearly(c: Array[Double]) = c.toSeq.map(v => v + rnd.nextGaussian() * 0.01)
+    val rows = (0 until 45).map { i => (i.toLong, nearly(groups(i / 3))) } ++
+      (45 until 145).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosinePairs(emb, threshold = 0.99, bruteForce = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 40, s"fixture sanity: ${exact.size} true pairs")
+    val lsh = Dedup.embeddingCosinePairs(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH path must never invent pairs (exact re-check)")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall too low: $recall")
+  }
+
+  test("embedding near-dup LSH path: hot buckets are dropped by the frequency cap") {
+    val rnd = new scala.util.Random(4)
+    val dim = 16
+    val hot = Array.fill(dim)(rnd.nextGaussian())
+    // 50 identical-direction vectors land in ONE bucket in every table;
+    // cap 10 drops that bucket everywhere -> no pairs survive from the hot
+    // group, while a small 3-vector group still pairs
+    val small = Array.fill(dim)(rnd.nextGaussian())
+    val rows = (0 until 50).map(i => (i.toLong, hot.toSeq)) ++
+      (50 until 53).map(i => (i.toLong, small.toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosinePairs(emb, threshold = 0.99,
+      maxBucketSize = 10, bits = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (a, b) => a < 50 || b < 50 },
+      s"hot-bucket pairs leaked past the cap: $got")
+    assert(got == Set((50L, 51L), (50L, 52L), (51L, 52L)),
+      s"small group must still pair: $got")
+  }
+
+  test("signLshBits tracks log2(N) with clamps") {
+    assert(Dedup.signLshBits(100L) == 8)          // clamp floor
+    assert(Dedup.signLshBits(16L << 20) == 20)    // 16M/16 = 2^20
+    assert(Dedup.signLshBits(Long.MaxValue / 4) == 30) // clamp ceiling
+    assert(Dedup.signLshBits(2000000L) == 17)     // the 2M bench point
+  }
+
   test("language id picks dominant stopword language") {
     val docs = Seq(
       (0L, "the cat is in the house and it is warm"),
