@@ -92,3 +92,81 @@ object LocalMetaIO extends MetaIO {
     else Files.getLastModifiedTime(p).toMillis ^ (Files.size(p) << 20)
   }
 }
+
+/** Sidecars addressed through the Hadoop FileSystem API (already on the
+  * Spark classpath) — the cluster-portable implementation: paths are any
+  * FileSystem URI (`hdfs://`, `s3a://`, `file://`, or scheme-less paths
+  * resolving through the default Hadoop conf). `writeAtomic` publishes via
+  * tmp-file + FileContext rename with OVERWRITE — atomic on HDFS; object
+  * stores whose committers emulate rename should prefer a native
+  * single-PUT implementation of this trait.
+  *
+  * @param scratchRoot cluster-visible scratch root for [[createTempDir]]
+  *                    (e.g. `hdfs:///tmp`); defaults to the driver-local
+  *                    tmpdir, correct for local/file deployments only.
+  */
+final class HadoopMetaIO(
+    scratchRoot: String = System.getProperty("java.io.tmpdir")) extends MetaIO {
+  import org.apache.hadoop.fs.{FileContext, Options, Path}
+
+  private def conf = new org.apache.hadoop.conf.Configuration()
+  private def fs(p: Path) = p.getFileSystem(conf)
+
+  override def readString(path: String): String = {
+    val p = new Path(path)
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  override def writeAtomic(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val f = fs(p)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  override def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fs(p).exists(p)
+  }
+
+  override def list(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  override def mkdirs(dir: String): Unit = {
+    val p = new Path(dir)
+    fs(p).mkdirs(p)
+  }
+
+  override def deleteRecursively(path: String): Unit = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  override def createTempDir(prefix: String): String = {
+    val p = new Path(scratchRoot,
+      s"$prefix-${java.util.UUID.randomUUID().toString}")
+    fs(p).mkdirs(p)
+    p.toString
+  }
+
+  override def version(path: String): Long = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) -1L
+    else {
+      val st = f.getFileStatus(p)
+      st.getModificationTime ^ (st.getLen << 20)
+    }
+  }
+}

@@ -6,7 +6,7 @@ import graft.io.{LocalMetaIO, MetaIO, ParquetDirIO, TableIO}
 import graft.index.PackedIndex
 
 /** Session-scoped (driver-side) cache of an index's query-time term->df
-  * map, keyed by the stats.json version token.
+  * map, keyed by a stats.json content token.
   *
   * Why: every [[Wand.prepare]] batch otherwise runs one pushdown-filtered
   * Spark scan of the df table — correct, but a fixed per-batch floor
@@ -17,8 +17,15 @@ import graft.index.PackedIndex
   * size check itself isn't repeated per batch).
   *
   * Invalidation: append/compact write a fresh df dir and atomically flip
-  * stats.json's dfDir pointer, so the stats.json version token
-  * ([[MetaIO.version]]) changes exactly when the df content may have.
+  * stats.json's dfDir pointer (and always change n/avgdl), so a token
+  * derived from stats.json's CONTENT changes exactly when the df content
+  * may have. The token is an md5 prefix of that content — NOT mtime/size
+  * ([[MetaIO.version]]): two rewrites within one mtime tick (or on a
+  * filesystem/object store with coarse mtime granularity) producing
+  * equal-length content would alias a time-based token and silently serve
+  * a stale term->df map (appended terms would return no hits with no
+  * error). stats.json is a few hundred bytes, so the per-call read is
+  * driver-local microseconds — no Spark job.
   * Tombstones are deliberately NOT cached here — delete() touches only
   * tombstones.txt, which this cache never serves.
   */
@@ -29,7 +36,7 @@ object IndexCache {
     */
   val MaxCachedTerms: Long = 1000000L
 
-  // dir -> (stats.json version, Some(term->df) | None=vocabulary too large).
+  // dir -> (stats.json content token, Some(term->df) | None=vocab too large).
   // Keyed by dir alone: the io/meta arguments only matter on the loading
   // call — mixing different TableIO implementations for one dir string is
   // not a supported pattern (the dir names one physical index).
@@ -41,22 +48,38 @@ object IndexCache {
   private[graft] def loads: Long = loadCounter.get()
   private[graft] def invalidateAll(): Unit = cache.clear()
 
+  /** Content-derived invalidation token: first 8 bytes of
+    * md5(stats.json bytes); -1 for a missing file.
+    */
+  private def token(dir: String, meta: MetaIO): Long = {
+    val p = s"$dir/stats.json"
+    if (!meta.exists(p)) -1L
+    else {
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(
+        meta.readString(p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.ByteBuffer.wrap(digest).getLong
+    }
+  }
+
   /** The full term->df map for the index, or None when the vocabulary
-    * exceeds [[MaxCachedTerms]]. Thread-safe; at most one load per (dir,
-    * version).
+    * exceeds [[MaxCachedTerms]]. Thread-safe with at most one load per
+    * (dir, token): the token read and the load both run inside
+    * ConcurrentHashMap.compute's per-key critical section, so concurrent
+    * callers can neither double-load nor overwrite a newer entry with an
+    * older map (the token a racing thread read before an append can't be
+    * written back — it is re-read under the lock). The load runs a Spark
+    * collect while holding the key's bin lock; loads for different dirs in
+    * other bins proceed in parallel, and serving hits never blocks longer
+    * than the token re-read.
     */
   def dfMap(spark: SparkSession, dir: String,
             io: TableIO = ParquetDirIO,
-            meta: MetaIO = LocalMetaIO): Option[Map[String, Long]] = {
-    val ver = meta.version(s"$dir/stats.json")
-    val hit = cache.get(dir)
-    if (hit != null && hit._1 == ver) hit._2
-    else {
-      val loaded = load(spark, dir, io, meta)
-      cache.put(dir, (ver, loaded))
-      loaded
-    }
-  }
+            meta: MetaIO = LocalMetaIO): Option[Map[String, Long]] =
+    cache.compute(dir, (_, old) => {
+      val ver = token(dir, meta)
+      if (old != null && old._1 == ver) old
+      else (ver, load(spark, dir, io, meta))
+    })._2
 
   private def load(spark: SparkSession, dir: String, io: TableIO,
                    meta: MetaIO): Option[Map[String, Long]] = {

@@ -220,7 +220,12 @@ object Wand {
     }
     val ownStaging = stagingDir.isEmpty
     val staging = stagingDir.getOrElse(meta.createTempDir("graft-searchds"))
-    if (meta.exists(s"$staging/hits")) meta.deleteRecursively(s"$staging/hits")
+    // stale-hits removal rides the SAME storage boundary the hit tables are
+    // written through — with a caller-supplied non-local TableIO plus the
+    // default LocalMetaIO, a meta-side existence probe would no-op and a
+    // prior larger batch's chunk partitions would union into this batch's
+    // sink scan (the silent-superset bug class)
+    io.deleteIfExists(s"$staging/hits")
     io.write(
       q.withColumn("chunk", pmod(xxhash64(col("query_id")), lit(numChunks))),
       s"$staging/queries", partitionBy = Seq("chunk"))
@@ -504,10 +509,17 @@ object Wand {
     val kEff = if (k > 0) k else Int.MaxValue
     queries.iterator.flatMap { q =>
       // distinct matched terms with occurrence multiplicity; weightedIdf
-      // folds the multiplicity so bounds stay per-distinct-cursor
+      // folds the multiplicity so bounds stay per-distinct-cursor.
+      // Zero-idf cursors (raw idf is exactly 0 at df == N/2; also every
+      // term under epsilon = 0 params) stay ALIVE: they contribute exactly
+      // 0.0 to every score (listBound/blockUb clamp at 0, evalDoc adds
+      // idf*... = 0.0), but they must keep their docs retrievable and count
+      // toward minimum_should_match — the exhaustive oracles (DuckDB tf
+      // JOIN, rank_bm25 get_scores) include docs matched only by such terms
+      // with score 0, and ES msm counts ANY matched query term.
       val multiplicity = q.tokens.groupBy(identity).map { case (t, a) => t -> a.length }
       val cursors: Array[Cursor] = q.idf.iterator.collect {
-        case (t, idf) if byTerm.contains(t) && idf != 0.0 =>
+        case (t, idf) if byTerm.contains(t) =>
           new Cursor(t, idf, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
       }.toArray
       if (cursors.isEmpty || cursors.length < minShouldMatch) Iterator.empty

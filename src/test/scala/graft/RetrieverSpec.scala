@@ -134,6 +134,8 @@ class RetrieverSpec extends SparkSpec {
         graft.io.ParquetDirIO.read(s, location)
       override def committed(location: String) =
         graft.io.ParquetDirIO.committed(location)
+      override def deleteIfExists(location: String): Unit =
+        graft.io.ParquetDirIO.deleteIfExists(location)
     }
     val ex = intercept[IllegalArgumentException] {
       graft.query.Wand.searchDs(spark, dir,
