@@ -42,7 +42,7 @@ object PagesPipeline {
     * the staged artifact), making the most expensive stage itself a
     * resumable checkpoint.
     */
-  def buildIndex(pages: DataFrame, dir: String, shardBits: Int = 16,
+  def buildIndex(pages: DataFrame, dir: String, shardBits: Int = 0,
                  groups: Int = 4, p: Bm25Params = Bm25Params(),
                  io: graft.io.TableIO = graft.io.ParquetDirIO): Seq[PackedIndex.GroupManifest] = {
     val spark = pages.sparkSession

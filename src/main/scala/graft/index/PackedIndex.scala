@@ -81,6 +81,36 @@ final case class IndexStats(
   */
 object PackedIndex {
 
+  // ---- shard sizing ----------------------------------------------------
+
+  /** Shard-count ceiling for [[deriveShardBits]]: the per-query global rank
+    * window receives numShards x k candidate rows, so numShards must stay
+    * bounded as the corpus grows — a FIXED docs-per-shard width (the old
+    * default 16) made shard count linear in corpus size (~150k shards at
+    * 10^10 docs -> 1.5M candidate rows per query). 4096 shards keeps that
+    * merge input small at any corpus size while leaving plenty of
+    * parallelism for the per-shard WAND tasks.
+    */
+  val TargetMaxShards: Long = 4096L
+
+  /** Floor on shard width (2^13 = 8k docs/shard) so small corpora don't
+    * shatter into per-doc shards with per-group overhead dominating.
+    */
+  val MinShardBits: Int = 13
+
+  /** Auto-derived shardBits for a corpus with dense doc ids in
+    * [0, nextDocId): the smallest width keeping numShards <=
+    * [[TargetMaxShards]], floored at [[MinShardBits]]. Used by [[build]]
+    * when the caller doesn't pin shardBits; appends inherit the built
+    * index's value from stats.json (shard assignment is immutable).
+    */
+  def deriveShardBits(nextDocId: Long): Int = {
+    val maxId = math.max(0L, nextDocId - 1)
+    var bits = MinShardBits
+    while ((maxId >> bits) >= TargetMaxShards && bits < 62) bits += 1
+    bits
+  }
+
   // ---- tokenized -> postings with dl ----------------------------------
 
   /** (doc_id, term, tf, dl) from (doc_id, terms) with NO shuffle: a doc's
@@ -192,8 +222,15 @@ object PackedIndex {
     *                    e.g. PagesPipeline, which stages extracted docs with
     *                    ids and tokenizes on the fly.
     */
+  /** @param shardBits shard width (shard = doc_id >> shardBits); 0 (the
+    *                   default) auto-derives via [[deriveShardBits]] from
+    *                   the corpus's max doc id, keeping the shard count
+    *                   bounded at any scale. Pin it only to reproduce a
+    *                   fixed layout (tests, appends join an existing
+    *                   layout automatically through stats.json).
+    */
   def build(tokenizedIn: DataFrame, dir: String,
-            shardBits: Int = 16, groups: Int = 4,
+            shardBits: Int = 0, groups: Int = 4,
             p: Bm25Params = Bm25Params(),
             blockSize: Int = Codec.DefaultBlockSize,
             io: TableIO = ParquetDirIO,
@@ -216,11 +253,17 @@ object PackedIndex {
   }
 
   private def buildFrom(tokenized: DataFrame, dir: String,
-                        shardBits: Int, groups: Int,
+                        shardBitsIn: Int, groups: Int,
                         p: Bm25Params,
                         blockSize: Int, io: TableIO,
                         meta: MetaIO): Seq[GroupManifest] = {
     val spark = tokenized.sparkSession
+    // auto shard sizing: one column-pruned max(doc_id) pass (ids are dense,
+    // so max+1 is the corpus size) — only paid when the caller didn't pin
+    val shardBits =
+      if (shardBitsIn > 0) shardBitsIn
+      else deriveShardBits(1L + tokenized
+        .agg(coalesce(max(col("doc_id")), lit(-1L))).first().getLong(0))
 
     // stage 1: ONE column-pruned pass computing per-shard (docs, sumDl) —
     // this both fixes the contiguous group split and yields exact per-group
@@ -624,6 +667,11 @@ object PackedIndex {
     writeStats(outDir, IndexStats(n2, sumDl2.toDouble / n2, avgRawIdf2,
       stats.k1, stats.b, stats.epsilon, stats.shardBits, blockSize),
       dfDir = "df", meta)
+    // carry the positional arm (if present): repack through the same
+    // tombstone-drop kernel, so phrase/proximity search composes with the
+    // delete lifecycle instead of failing loudly until a manual rebuild
+    if (PositionalIndex.exists(dir, io, meta))
+      PositionalIndex.compactInto(spark, dir, outDir, bcTomb, blockSize, io, meta)
     // the id high-water mark survives compaction: manifest docs is the
     // SURVIVOR count (feeds stats on later appends), while id allocation
     // must keep starting above the ORIGINAL range — deleted ids are dead

@@ -153,6 +153,62 @@ object PositionalIndex {
     meta.writeAtomic(s"$dir/positions.list", (segs :+ next).mkString("\n"))
   }
 
+  /** True iff `dir` carries a positional arm (segment list or legacy
+    * single `positions` dir).
+    */
+  def exists(dir: String, io: TableIO = ParquetDirIO,
+             meta: MetaIO = LocalMetaIO): Boolean =
+    meta.exists(s"$dir/positions.list") || io.committed(s"$dir/positions")
+
+  /** Repack the positional arm minus the tombstoned docs into `outDir` —
+    * the positional leg of [[PackedIndex.compact]], sharing its shape:
+    * rows whose block [base, maxDoc] ranges touch no tombstone pass
+    * through HEADER-ONLY; touched rows decode, drop deleted postings, and
+    * re-block with the same codec. Ids are preserved, segments collapse to
+    * one, and the arm's per-term posting counts land exactly on the
+    * compacted df table (the staleness gate the query kernel enforces).
+    */
+  private[index] def compactInto(spark: SparkSession, dir: String,
+                                 outDir: String,
+                                 bcTomb: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                                 blockSize: Int,
+                                 io: TableIO, meta: MetaIO): Unit = {
+    import spark.implicits._
+    val repacked = load(spark, dir, io, meta).mapPartitions { it =>
+      val t = bcTomb.value
+      def touched(b: PackedPosBlock): Boolean = {
+        val i = java.util.Arrays.binarySearch(t, b.base)
+        val from = if (i >= 0) i else -i - 1
+        from < t.length && t(from) <= b.maxDoc
+      }
+      it.flatMap { pp =>
+        if (!pp.blocks.exists(touched)) Iterator.single(pp)
+        else {
+          val blocks = pp.blocks.map(_.toCodec)
+          val docs = blocks.flatMap(_.decodeDocIds)
+          val poss = blocks.flatMap(_.decodePositions)
+          val kd = Array.newBuilder[Long]
+          val kp = Array.newBuilder[Array[Long]]
+          var i = 0
+          while (i < docs.length) {
+            if (java.util.Arrays.binarySearch(t, docs(i)) < 0) {
+              kd += docs(i); kp += poss(i)
+            }
+            i += 1
+          }
+          val kdA = kd.result()
+          if (kdA.isEmpty) Iterator.empty
+          else Iterator.single(PosPostings(pp.shard, pp.term, kdA.length.toLong,
+            Codec.packPositions(kdA, kp.result(), blockSize)
+              .map(b => PackedPosBlock(b.baseDocId, b.maxDocId, b.count,
+                b.docs, b.cnts, b.poss)).toArray))
+        }
+      }
+    }
+    io.write(repacked.toDF(), s"$outDir/positions")
+    meta.writeAtomic(s"$outDir/positions.list", "positions")
+  }
+
   /** Read the positional arm (union of committed segments); fails loudly
     * when absent.
     */

@@ -74,6 +74,100 @@ class AppendSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle property: random delete/append/compact chains keep stats exact (seeded)") {
+    // the unit tests cover the known scenarios; this covers the ones nobody
+    // thought of: ANY interleaving of delete/append/compact/re-delete must
+    // keep (n, avgdl, df, watermark) equal to the model computed over the
+    // physically-present docs, and end-state queries bit-identical to a
+    // fresh build over the survivors
+    def tok(rows: Seq[(Long, String)]) = graft.index.InvertedIndex.tokenize(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    for (trial <- 0 until 2) {
+      val rnd = new scala.util.Random(100 + trial)
+      def mkText() =
+        Seq.fill(2 + rnd.nextInt(12))(s"w${rnd.nextInt(30)}").mkString(" ")
+      val physical = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+      var tombstoned = Set.empty[Long]
+      var holes = Set.empty[Long]
+      var nextId = 0L
+      var dir = Files.createTempDirectory(s"graft-lifeprop$trial").toString
+      def newDocs(k: Int): Seq[(Long, String)] =
+        (0 until k).map { _ => val id = nextId; nextId += 1; id -> mkText() }
+      val init = newDocs(40)
+      physical ++= init
+      graft.index.PackedIndex.build(tok(init), dir, shardBits = 3, groups = 2)
+
+      def checkStats(where: String): Unit = {
+        val stats = graft.index.PackedIndex.readStats(dir)
+        assert(stats.n == physical.size, s"$where: n")
+        val sumDl = physical.values.iterator
+          .map(t => graft.tokenize.PyTokenize.split(t).length.toLong).sum
+        assert(stats.avgdl == sumDl.toDouble / physical.size, s"$where: avgdl")
+        val wantDf = physical.values.iterator
+          .flatMap(t => graft.tokenize.PyTokenize.split(t).distinct)
+          .toSeq.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        val gotDf = graft.index.PackedIndex.loadDf(spark, dir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(gotDf == wantDf, s"$where: df diverged")
+        assert(graft.index.PackedIndex.committedDocs(dir) == nextId,
+          s"$where: watermark")
+      }
+      checkStats("init")
+
+      for (step <- 0 until 6) {
+        val op = rnd.nextInt(3)
+        if (op == 0) {
+          val batch = newDocs(5 + rnd.nextInt(10))
+          physical ++= batch
+          graft.index.PackedIndex.append(tok(batch), dir)
+        } else if (op == 1) {
+          val visible = (physical.keySet -- tombstoned).toSeq.sorted
+          if (visible.size > 1) {
+            // delete a strict subset of visible docs, occasionally mixed
+            // with already-erased ids (holes) which must no-op
+            val pick = rnd.shuffle(visible)
+              .take(1 + rnd.nextInt(math.max(1, visible.size / 3)))
+              .toSet - visible.head
+            val redeads = if (holes.nonEmpty && rnd.nextBoolean())
+              rnd.shuffle(holes.toSeq).take(2).toSet else Set.empty[Long]
+            if ((pick ++ redeads).nonEmpty) {
+              graft.index.PackedIndex.delete(dir, (pick ++ redeads).toSeq)
+              tombstoned ++= pick
+            }
+          }
+        } else if (tombstoned.nonEmpty) {
+          val out = Files.createTempDirectory(s"graft-lifeprop-c$trial").toString
+          graft.index.PackedIndex.compact(spark, dir, out)
+          physical --= tombstoned; holes ++= tombstoned; tombstoned = Set.empty
+          dir = out
+        }
+        checkStats(s"trial $trial step $step (op $op)")
+      }
+
+      // end state: apply pending tombstones physically, then the whole
+      // index must be bit-identical to a fresh build over the survivors
+      if (tombstoned.nonEmpty) {
+        val out = Files.createTempDirectory(s"graft-lifeprop-f$trial").toString
+        graft.index.PackedIndex.compact(spark, dir, out)
+        physical --= tombstoned; holes ++= tombstoned; tombstoned = Set.empty
+        dir = out
+        checkStats("final compact")
+      }
+      val stats = graft.index.PackedIndex.readStats(dir)
+      val freshDir = Files.createTempDirectory(s"graft-lifeprop-fresh$trial").toString
+      graft.index.PackedIndex.build(tok(physical.toSeq), freshDir,
+        shardBits = stats.shardBits, groups = 2, blockSize = stats.blockSize)
+      graft.query.IndexCache.invalidateAll()
+      val batch = (0 until 3).map(q =>
+        q.toLong -> Seq.fill(3)(s"w${rnd.nextInt(30)}").mkString(" "))
+      def rows(d: String) = Wand.search(spark, d, batch, 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val got = rows(dir)
+      assert(got == rows(freshDir), s"trial $trial: chain != fresh build")
+      assert(got.nonEmpty, s"trial $trial: degenerate query batch")
+    }
+  }
+
   test("append retried after a crash between stats and manifest is idempotent") {
     // crash point: new stats.json committed, group manifest NOT — the worst
     // ordering (a stats-derived retry would double-count the new docs)

@@ -43,6 +43,42 @@ class PackedIndexSpec extends SparkSpec {
     }
   }
 
+  test("deriveShardBits bounds shard count at any corpus size") {
+    import PackedIndex.{deriveShardBits, MinShardBits, TargetMaxShards}
+    assert(deriveShardBits(0L) == MinShardBits)
+    assert(deriveShardBits(1000L) == MinShardBits)           // tiny corpus
+    assert(deriveShardBits(2000000L) == MinShardBits)        // 2M: 245 shards
+    for (n <- Seq(1L, 60000L, 2000000L, 100000000L, 10000000000L, 1L << 50)) {
+      val bits = deriveShardBits(n)
+      val numShards = ((n - 1) >> bits) + 1
+      assert(numShards <= TargetMaxShards, s"n=$n bits=$bits shards=$numShards")
+      assert(bits >= MinShardBits)
+      // smallest such width: one bit narrower must overflow (unless floored)
+      if (bits > MinShardBits)
+        assert(((n - 1) >> (bits - 1)) + 1 > TargetMaxShards, s"n=$n bits=$bits")
+    }
+  }
+
+  test("auto shardBits build == pinned build of the derived width") {
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 120).map { i =>
+      i.toLong -> Seq.fill(3 + rnd.nextInt(10))(s"w${rnd.nextInt(40)}").mkString(" ")
+    }
+    def tok(rows: Seq[(Long, String)]) = InvertedIndex.tokenize(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    val autoDir = Files.createTempDirectory("graft-autobits").toString
+    PackedIndex.build(tok(docs), autoDir, groups = 2) // shardBits defaulted
+    val stats = PackedIndex.readStats(autoDir)
+    assert(stats.shardBits == PackedIndex.deriveShardBits(120L))
+    val pinDir = Files.createTempDirectory("graft-pinbits").toString
+    PackedIndex.build(tok(docs), pinDir, shardBits = stats.shardBits, groups = 2)
+    graft.query.IndexCache.invalidateAll()
+    val batch = Seq(0L -> "w1 w2 w3")
+    def rows(dir: String) = Wand.search(spark, dir, batch, 20).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(autoDir) == rows(pinDir) && rows(autoDir).nonEmpty)
+  }
+
   test("varint encodes full Long range boundaries") {
     val vals = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong,
       (1L << 62) - 1, Long.MaxValue)

@@ -173,6 +173,54 @@ class PhraseSpec extends SparkSpec {
     assert(rebuilt == hits)
   }
 
+  test("compact carries the positional arm: phrase/proximity on the compacted index") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Array("table", "scan", "a", "b", "c")
+    val docs = (0 until 80).map { i =>
+      i.toLong -> Seq.fill(3 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val t = tok(docs: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-poscpt").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 4, groups = 2)
+    graft.index.PositionalIndex.build(t, dir)
+    // append a batch so the arm has >1 segment before compacting
+    val extra = tok(80L -> "table scan table", 81L -> "scan a table scan")
+    graft.index.PackedIndex.append(extra, dir)
+    graft.index.PositionalIndex.append(extra, dir)
+    val dead = Seq(3L, 17L, 80L)
+    graft.index.PackedIndex.delete(dir, dead)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-poscpt-out").toString
+    graft.index.PackedIndex.compact(spark, dir, outDir)
+    // the compacted arm answers from the index alone, ids preserved, and
+    // matches the sliding rescan over the SURVIVING corpus exactly
+    val survivors = tok((docs ++ Seq(
+      80L -> "table scan table", 81L -> "scan a table scan"))
+      .filterNot(d => dead.contains(d._1)): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantPhrase = rows(Phrase.topK(survivors,
+      InvertedIndex.postings(survivors), Seq("table", "scan"), 500))
+    val gotPhrase = rows(Phrase.topKPositional(spark, outDir,
+      Seq("table", "scan"), 500))
+    assert(gotPhrase == wantPhrase && wantPhrase.nonEmpty)
+    assert(!gotPhrase.exists(r => dead.contains(r._1)))
+    val wantProx = rows(Phrase.proximityTopK(survivors,
+      InvertedIndex.postings(survivors), "table", "scan", slop = 3, k = 500))
+    val gotProx = rows(Phrase.proximityTopKPositional(spark, outDir,
+      "table", "scan", slop = 3, k = 500))
+    assert(gotProx == wantProx)
+    // lifecycle still composes AFTER compaction: append above the watermark
+    val next = graft.index.PackedIndex.committedDocs(outDir)
+    val late = tok(next -> "table scan z")
+    graft.index.PackedIndex.append(late, outDir)
+    graft.index.PositionalIndex.append(late, outDir)
+    graft.query.IndexCache.invalidateAll()
+    val afterAppend = rows(Phrase.topKPositional(spark, outDir,
+      Seq("table", "scan"), 500))
+    assert(afterAppend.exists(_._1 == next), s"appended doc missing: $afterAppend")
+  }
+
   test("positional append: orphan segment dirs are invisible until the list flips") {
     val t = tok(0L -> "table scan a", 1L -> "b table scan")
     val dir = java.nio.file.Files.createTempDirectory("graft-posorphan").toString
