@@ -234,6 +234,23 @@ object SparkEntry {
         "table", "scan", slop = 3, k = 10)
     }),
 
+    // Unordered multi-term NEAR/n — every follower term within 6 tokens of
+    // a 'table' anchor, either direction, 3 distinct terms. Rescan and
+    // positional-kernel paths against ONE exact DuckDB oracle.
+    "q_near_topk" -> ((s, dir) => {
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.query.Phrase.nearTopK(tok, InvertedIndex.postings(tok),
+        Seq("table", "scan", "query"), slop = 6, k = 10)
+    }),
+    "q_near_positional_topk" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-nearq").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PositionalIndex.build(tok, idxDir)
+      graft.query.Phrase.nearTopKPositional(s, idxDir,
+        Seq("table", "scan", "query"), slop = 6, k = 10)
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -333,6 +350,34 @@ object SparkEntry {
          |)
          |SELECT doc_id, prox_tf, rank FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Unordered NEAR/6: anchors p with 'table' at p where 'scan' AND 'query'
+    * each occur in [p-6, p+6]; count = qualifying anchors. Same nested-
+    * lambda shape as [[proximityOracle]], shared verbatim by the rescan and
+    * positional-kernel queries.
+    */
+  private def nearOracle(ctes: String): String =
+    ctes +
+      s""", cand AS (
+         |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan', 'query')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 3
+         |), pc AS (
+         |  SELECT t.doc_id,
+         |         CAST(coalesce(list_sum(list_transform(
+         |           list_filter(range(1, len(terms)+1), i -> terms[i] = 'table'),
+         |           p -> CASE WHEN
+         |             len(list_filter(range(1, len(terms)+1),
+         |               j -> terms[j] = 'scan' AND j >= p - 6 AND j <= p + 6)) > 0
+         |             AND len(list_filter(range(1, len(terms)+1),
+         |               j -> terms[j] = 'query' AND j >= p - 6 AND j <= p + 6)) > 0
+         |           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS near_tf
+         |  FROM tok t JOIN cand USING (doc_id)
+         |), ranked AS (
+         |  SELECT doc_id, near_tf,
+         |         CAST(row_number() OVER (ORDER BY near_tf DESC, doc_id ASC) AS INT) AS rank
+         |  FROM pc WHERE near_tf > 0
+         |)
+         |SELECT doc_id, near_tf, rank FROM ranked WHERE rank <= 10""".stripMargin
+
   private def coreOracleSql: Map[String, String] = {
     val ctes = DocsCorpus.oracleCorpusCtes
     val scoreExpr =
@@ -418,6 +463,8 @@ object SparkEntry {
       "q_phrase_positional_topk" -> phraseOracle(ctes),
       "q_proximity_topk" -> proximityOracle(ctes),
       "q_proximity_positional_topk" -> proximityOracle(ctes),
+      "q_near_topk" -> nearOracle(ctes),
+      "q_near_positional_topk" -> nearOracle(ctes),
 
       // minimum_should_match: candidates need >= 3 distinct matched query
       // terms; scores/stats unchanged for qualifiers

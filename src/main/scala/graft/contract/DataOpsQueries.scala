@@ -130,6 +130,35 @@ object DataOpsQueries {
           round(col("scanned_fraction"), 4).as("scanned_frac_r"))
     }),
 
+    // IVF on a SEPARABLE corpus (rows-only by design, like the other IVF
+    // queries): the sf embeddings are near-isotropic noise, so high recall
+    // there is intrinsically scan-bound — this row is the driver-visible
+    // evidence that on data with real cluster structure the same code
+    // reaches recall >= 0.9 scanning <= 25% of the corpus (the property a
+    // 100 TB IVF deployment relies on; DedupAnnSpec pins it in CI). The
+    // corpus is synthesized deterministically (seeded) — 10 Gaussian
+    // clusters, 600 vectors, dim 32; `meets_bar` marks the operating
+    // points satisfying recall >= 0.9 AND scanned_fraction <= 0.25.
+    "q_ann_ivf_clustered" -> ((s, _dir) => {
+      import s.implicits._
+      val rnd = new scala.util.Random(7)
+      val dim = 32
+      val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian() * 5.0))
+      def jitter(c: Array[Double]) = c.toSeq.map(v => v + rnd.nextGaussian() * 0.3)
+      val corpus = (0 until 600).map(i => (i.toLong, jitter(centers(i % 10))))
+        .toDF("vec_id", "vec")
+      val queries = (0 until 5).map(i => (i.toLong, jitter(centers(i))))
+        .toDF("query_id", "qvec")
+      val exact = Ann.bruteForceTopK(queries, corpus, 10)
+      val cents = Ann.lloyd(corpus, Ann.seedCentroids(corpus, nCells = 16), iters = 4)
+      val withCell = Ann.assignCells(corpus, cents)
+      Ann.ivfSweep(queries, withCell, cents, exact, 10, Seq(1, 2, 3, 4, 8))
+        .select(col("n_probe"),
+          round(col("recall"), 4).as("recall_r"),
+          round(col("scanned_fraction"), 4).as("scanned_frac_r"),
+          (col("recall") >= 0.9 && col("scanned_fraction") <= 0.25).as("meets_bar"))
+    }),
+
     // text quality features
     "q_text_quality" -> ((s, dir) => {
       val t = col("text")

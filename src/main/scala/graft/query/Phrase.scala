@@ -103,6 +103,82 @@ object Phrase {
     }
   }
 
+  /** Unordered multi-term proximity (the standard NEAR/n operator): count
+    * of occurrences p of `terms.head` (the anchor term) such that EVERY
+    * other term has an occurrence within `slop` tokens of p in EITHER
+    * direction (|q - p| <= slop). slop >= 1; terms must be distinct and
+    * >= 2 (positions of distinct terms can never coincide, so q != p is
+    * automatic). Declarative Catalyst like [[phraseCount]]/[[proximityCount]]
+    * — SQL-expressible, so the operator carries an exact DuckDB oracle.
+    */
+  def nearCount(termsCol: Column, terms: Seq[String], slop: Int): Column = {
+    require(slop >= 1, "nearCount: slop must be >= 1")
+    require(terms.length >= 2 && terms.distinct == terms,
+      "nearCount: need >= 2 distinct terms")
+    val idx = sequence(lit(1), size(termsCol))
+    def posOf(t: String) = filter(idx, i => get(termsCol, i - 1) === lit(t))
+    when(size(termsCol) < 1, lit(0L)).otherwise(
+      aggregate(posOf(terms.head), lit(0L), (acc, p) =>
+        acc + when(
+          terms.tail.map(t =>
+            exists(posOf(t), q => q >= p - slop && q <= p + slop))
+            .reduce(_ && _),
+          lit(1L)).otherwise(lit(0L))))
+  }
+
+  /** Top-k docs by unordered NEAR count (corpus-rescan verify path — the
+    * positional-index sibling is [[nearTopKPositional]]).
+    */
+  def nearTopK(tokenized: DataFrame, postings: DataFrame,
+               terms: Seq[String], slop: Int, k: Int): DataFrame = {
+    val counted = tokenized
+      .join(candidates(postings, terms), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        nearCount(col("terms"), terms, slop).as("near_tf"))
+      .filter(col("near_tf") > 0)
+    val bounded = counted
+      .orderBy(col("near_tf").desc, col("doc_id").asc).limit(k)
+    graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
+      col("near_tf").desc, col("doc_id").asc)
+  }
+
+  /** Unordered NEAR top-k from the POSITIONAL index arm alone: same
+    * shard-local kernel shape as [[topKPositional]]; per anchor position,
+    * each follower term is probed with two binary searches for an
+    * occurrence in [p - slop, p + slop]. Count-identical to [[nearTopK]]
+    * (PhraseSpec property + shared DuckDB oracle). Honors tombstones;
+    * stale arm fails loudly.
+    */
+  def nearTopKPositional(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, terms: Seq[String],
+                         slop: Int, k: Int): DataFrame = {
+    require(slop >= 1, "nearTopKPositional: slop must be >= 1")
+    require(terms.length >= 2 && terms.distinct == terms,
+      "nearTopKPositional: need >= 2 distinct terms")
+    positionalKernelTopK(spark, indexDir, terms, k, "near_tf") {
+      (slotPos: Array[Array[Long]]) =>
+        val anchors = slotPos(0)
+        var cnt = 0L
+        var i = 0
+        while (i < anchors.length) {
+          val p = anchors(i)
+          var ok = true
+          var j = 1
+          while (ok && j < slotPos.length) {
+            val arr = slotPos(j)
+            // first occurrence >= p - slop; in-window iff it is <= p + slop
+            val r = java.util.Arrays.binarySearch(arr, p - slop)
+            val lo = if (r >= 0) r else -r - 1
+            ok = lo < arr.length && arr(lo) <= p + slop
+            j += 1
+          }
+          if (ok) cnt += 1
+          i += 1
+        }
+        cnt
+    }
+  }
+
   /** Docs whose postings contain EVERY distinct phrase term (conjunctive
     * candidate set). The term IN-filter pushes to the postings source; the
     * aggregation emits doc ids only.

@@ -288,6 +288,50 @@ class PhraseSpec extends SparkSpec {
     assert(prox1 == bigram)
   }
 
+  test("nearCount: unordered window anchors, hand-computed goldens") {
+    val docs = Seq(
+      //        1     2    3    4     5     6    (1-based positions)
+      (0L, "scan x table y query z"),    // anchor 3: scan@1 (d2), query@5 (d2) -> 1
+      (1L, "table a b c d scan"),        // anchor 1: scan@6 d5 out of slop 3 -> 0
+      (2L, "query scan table scan query"), // anchor 3: both within 2 -> 1
+      (3L, "table query table x scan"),  // anchors 1 (scan@5 d4 out) and 3 (query@2 d1, scan@5 d2) -> 1 at slop 3
+      (4L, "no match here"))
+      .toDF("doc_id", "text")
+    val t = graft.index.InvertedIndex.tokenize(docs, "doc_id", "text")
+    val got = t.select(col("doc_id"),
+      Phrase.nearCount(col("terms"), Seq("table", "scan", "query"), slop = 3).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L), s"got $got")
+    // direction-insensitivity: slop 5 brings doc 1's scan into range
+    val wide = t.select(col("doc_id"),
+      Phrase.nearCount(col("terms"), Seq("table", "scan"), slop = 5).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide(1L) == 1L)
+  }
+
+  test("NEAR: positional kernel == declarative rescan (property, 2 and 3 terms)") {
+    val rnd = new scala.util.Random(37)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0 until 150).map { i =>
+      i.toLong -> Seq.fill(1 + rnd.nextInt(25))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val t = tok(docs: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nearidx").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 5, groups = 2)
+    graft.index.PositionalIndex.build(t, dir)
+    val post = InvertedIndex.postings(t)
+    for ((terms, slop) <- Seq((Seq("a", "b"), 1), (Seq("a", "b"), 4),
+        (Seq("c", "d", "a"), 3), (Seq("e", "b", "c", "d"), 5))) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = rows(Phrase.nearTopK(t, post, terms, slop, 500))
+      val got = rows(Phrase.nearTopKPositional(spark, dir, terms, slop, 500))
+      assert(got == want, s"NEAR positional != rescan for $terms slop=$slop")
+      assert(want.nonEmpty, s"degenerate fixture for $terms slop=$slop")
+    }
+  }
+
   test("duplicate-term phrase uses distinct terms for candidates") {
     val t = tok(0L -> "go go go", 1L -> "go stop go")
     val post = InvertedIndex.postings(t)
