@@ -126,7 +126,8 @@ object Bench {
       "q_bm25_filtered_topk", "q_ann_filtered_topk",
       "q_bm25_tombstone_topk", "q_bm25_compacted_topk",
       "q_phrase_topk", "q_phrase_positional_topk", "q_proximity_topk",
-      "q_proximity_positional_topk", "q_metrics_fused", "q_ann_ivf_topk")
+      "q_proximity_positional_topk", "q_near_topk", "q_near_positional_topk",
+      "q_metrics_fused", "q_ann_ivf_topk")
     val battery = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
