@@ -130,6 +130,27 @@ object DataOpsQueries {
           round(col("scanned_fraction"), 4).as("scanned_frac_r"))
     }),
 
+    // PERSISTED IVF index (rows-only, approximate by design): same corpus,
+    // operating point, and self-check as q_ann_ivf_topk, but served from
+    // the on-disk cell-clustered index (build/train once -> probe-pruned
+    // scan) instead of the in-memory frames — the faiss
+    // write_index/read_index lifecycle. IvfIndexSpec proves the persisted
+    // path bit-identical to the in-memory kernel on shared centroids.
+    "q_ann_ivf_persisted" -> ((s, dir) => {
+      val emb = DocsCorpus.table(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfp").toString
+      graft.ann.IvfIndex.build(corpus, idxDir, nCells = 16, iters = 4)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Ann.bruteForceTopK(queries, corpus, k = 10)
+        .select(col("query_id"), col("vec_id"), lit(true).as("in_exact_topk"))
+      graft.ann.IvfIndex.search(s, idxDir, queries, k = 10, nProbe = 12)
+        .join(exact, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos_r"),
+          col("rank"), coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+    }),
+
     // IVF on a SEPARABLE corpus (rows-only by design, like the other IVF
     // queries): the sf embeddings are near-isotropic noise, so high recall
     // there is intrinsically scan-bound — this row is the driver-visible

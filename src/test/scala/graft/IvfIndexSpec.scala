@@ -1,0 +1,96 @@
+package graft
+
+import graft.ann.{Ann, IvfIndex}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted IVF index: parity with the in-memory kernel, frozen-centroid
+  * appends, and the cell-pruning pushdown.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randCorpus(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "vec")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+      r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+
+  test("persisted search == in-memory ivfTopK on the same centroids (bit-identical)") {
+    val corpus = randCorpus(400, 16, 5)
+    val queries = randCorpus(5, 16, 99)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfidx").toString
+    IvfIndex.build(corpus, dir, nCells = 8, iters = 3)
+    val cents = IvfIndex.loadCentroids(dir)
+      .toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "cvec")
+    val inMem = rows(Ann.ivfTopK(queries,
+      Ann.assignCells(corpus, cents), cents, k = 10, nProbe = 3))
+    val persisted = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 3))
+    assert(persisted == inMem && inMem.nonEmpty)
+  }
+
+  test("append assigns against frozen centroids; search covers old + new") {
+    val base = randCorpus(300, 16, 7)
+    val extraRaw = randCorpus(100, 16, 8)
+    val extra = extraRaw.select((col("vec_id") + 300L).as("vec_id"), col("vec"))
+    val queries = randCorpus(4, 16, 101)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfapp").toString
+    IvfIndex.build(base, dir, nCells = 8, iters = 3)
+    IvfIndex.append(extra, dir)
+    // equivalence: persisted(base + appended) == in-memory over the FULL
+    // corpus assigned with the BASE-trained centroids (faiss add semantics)
+    val cents = IvfIndex.loadCentroids(dir)
+      .toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "cvec")
+    val full = base.union(extra)
+    val want = rows(Ann.ivfTopK(queries,
+      Ann.assignCells(full, cents), cents, k = 10, nProbe = 4))
+    val got = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 4))
+    assert(got == want && want.nonEmpty)
+    // appended ids are actually retrievable
+    val hitIds = got.map(_._2)
+    assert(hitIds.exists(_ >= 300L) || want.forall(_._2 < 300L))
+    // stats track the append
+    val statsJson = graft.io.LocalMetaIO.readString(s"$dir/ivf.json")
+    assert(statsJson.contains("\"nVecs\":400"))
+  }
+
+  test("probe-time scan pushes the cell_id filter into parquet") {
+    val corpus = randCorpus(500, 8, 11)
+    val queries = randCorpus(2, 8, 103)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfplan").toString
+    IvfIndex.build(corpus, dir, nCells = 8, iters = 2)
+    val cents = IvfIndex.loadCentroids(dir)
+      .toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "cvec")
+    val probes = Ann.probeCells(queries, cents, nProbe = 2)
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(probedCells.length < 8, "fixture degenerate: all cells probed")
+    val scan = IvfIndex.loadCells(spark, dir)
+      .filter(col("cell_id").isin(probedCells: _*))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("cell_id"),
+      s"cell filter not pushed to the parquet scan:\n${plan.take(800)}")
+  }
+
+  test("index lifecycle through the Hadoop IO pair == local pair") {
+    val corpus = randCorpus(200, 8, 13)
+    val queries = randCorpus(3, 8, 107)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    def run(io: graft.io.TableIO, meta: graft.io.MetaIO) = {
+      val dir = Files.createTempDirectory("graft-ivfh").toString
+      IvfIndex.build(corpus, dir, nCells = 4, iters = 2, io = io, meta = meta)
+      rows(IvfIndex.search(spark, dir, queries, k = 5, nProbe = 2,
+        io = io, meta = meta))
+    }
+    val viaLocal = run(graft.io.ParquetDirIO, graft.io.LocalMetaIO)
+    val viaHadoop = run(graft.io.HadoopTableIO, new graft.io.HadoopMetaIO())
+    assert(viaLocal == viaHadoop && viaLocal.nonEmpty)
+  }
+}

@@ -52,7 +52,8 @@ class OracleHygieneSpec extends AnyFunSuite {
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     val rowsOnly = qs -- os
     assert(rowsOnly == Set("q_pages_wand", "q_ann_ivf_topk",
-      "q_ann_ivf_sweep", "q_ann_ivf_clustered", "q_multimodal_features"),
+      "q_ann_ivf_sweep", "q_ann_ivf_clustered", "q_ann_ivf_persisted",
+      "q_multimodal_features"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
