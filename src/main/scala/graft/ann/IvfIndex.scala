@@ -88,9 +88,15 @@ object IvfIndex {
     * parquet scan — row-group stats prune non-probed cells, so the scan
     * reads ~|probed|/nCells of the index (plan-verified in IvfIndexSpec).
     * Bit-identical to [[Ann.ivfTopK]] on the same vectors/centroids.
+    *
+    * `allowedIds` (optional) is the ES-filter-context allowlist the BM25
+    * paths carry: only listed vec_ids may be scored, applied as a filter
+    * on the pruned scan BEFORE ranking (candidates restricted, similarity
+    * unchanged). Tombstoned ids ([[delete]]) are always excluded.
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int, nProbe: Int,
+             allowedIds: Option[Array[Long]] = None,
              io: TableIO = ParquetDirIO,
              meta: MetaIO = LocalMetaIO): DataFrame = {
     val cents = loadCentroids(dir, meta)
@@ -98,10 +104,37 @@ object IvfIndex {
       .localCheckpoint() // pinned: reused for the pushdown filter AND the join
     val probedCells = probes.select(col("cell_id"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val cells = loadCells(spark, dir, io, meta)
+    val tomb = loadTombstones(dir, meta)
+    var cells = loadCells(spark, dir, io, meta)
       .filter(col("cell_id").isin(probedCells: _*))
+    allowedIds.foreach { ids =>
+      cells = cells.filter(col("vec_id").isin(ids.toSeq: _*))
+    }
+    if (tomb.nonEmpty)
+      cells = cells.filter(!col("vec_id").isin(tomb.toSeq: _*))
     Ann.ivfTopKWithProbes(probes, cells, k)
   }
+
+  /** Visibility-only delete, the dense sibling of PackedIndex.delete:
+    * tombstoned vec_ids are excluded from every search without rewriting
+    * cell segments or retraining. Atomic merged-set publish; idempotent.
+    * Bounded like the BM25 tombstones (the set rides into the scan filter).
+    */
+  def delete(dir: String, vecIds: Seq[Long],
+             maxTombstones: Int = graft.index.PackedIndex.MaxTombstones,
+             meta: MetaIO = LocalMetaIO): Unit = {
+    val merged = (loadTombstones(dir, meta) ++ vecIds).distinct.sorted
+    require(merged.length <= maxTombstones,
+      s"IvfIndex.delete: tombstone set would reach ${merged.length} ids " +
+        s"(bound $maxTombstones) — rebuild over the filtered corpus for mass deletes")
+    meta.writeAtomic(s"$dir/tombstones.txt", merged.mkString("\n"))
+  }
+
+  def loadTombstones(dir: String,
+                     meta: MetaIO = LocalMetaIO): Array[Long] =
+    if (!meta.exists(s"$dir/tombstones.txt")) Array.empty[Long]
+    else meta.readString(s"$dir/tombstones.txt").split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toArray
 
   // ---- internals -------------------------------------------------------
 

@@ -79,6 +79,32 @@ class IvfIndexSpec extends SparkSpec {
       s"cell filter not pushed to the parquet scan:\n${plan.take(800)}")
   }
 
+  test("tombstone delete and allowlist filtering compose on the persisted index") {
+    val corpus = randCorpus(300, 16, 17)
+    val queries = randCorpus(3, 16, 109)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfdel").toString
+    IvfIndex.build(corpus, dir, nCells = 8, iters = 2)
+    val before = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 8))
+    assert(before.nonEmpty)
+    // delete the top hit of each query: it must vanish, survivors keep
+    // their exact cosine (visibility-only semantics)
+    val dead = before.filter(_._4 == 1).map(_._2).toSeq.distinct
+    IvfIndex.delete(dir, dead)
+    val after = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 8))
+    assert(!after.exists(r => dead.contains(r._2)), s"deleted ids resurfaced")
+    val beforeScores = before.map(r => (r._1, r._2) -> r._3).toMap
+    after.foreach { r =>
+      beforeScores.get((r._1, r._2)).foreach(s => assert(s == r._3)) }
+    // re-delete is a no-op; allowlist restricts candidates further
+    IvfIndex.delete(dir, dead)
+    val allowed = after.map(_._2).toArray.distinct.sorted.take(5)
+    val filtered = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 8,
+      allowedIds = Some(allowed)))
+    assert(filtered.nonEmpty && filtered.forall(r => allowed.contains(r._2)))
+    assert(!filtered.exists(r => dead.contains(r._2)))
+  }
+
   test("index lifecycle through the Hadoop IO pair == local pair") {
     val corpus = randCorpus(200, 8, 13)
     val queries = randCorpus(3, 8, 107)
