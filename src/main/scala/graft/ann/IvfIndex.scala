@@ -19,15 +19,32 @@ import graft.io.{LocalMetaIO, MetaIO, ParquetDirIO, TableIO}
   *                          would mean driver-serial commits and a
   *                          scheduler task per dir, the same reasoning as
   *                          the postings shard column)
-  *   cells.list             segment list sidecar (MetaIO-atomic flip, the
-  *                          PositionalIndex pattern: a crashed append
-  *                          leaves an invisible orphan dir)
+  *   cells.list             segment list sidecar — the COMMIT MARKER,
+  *                          always written LAST (MetaIO-atomic flip, the
+  *                          PositionalIndex pattern: a crash leaves an
+  *                          invisible orphan dir a retry overwrites)
   *   centroids.tsv          trained centroids (small: nCells x dim)
-  *   ivf.json               stats: nCells, dim, nVecs
+  *   ivf.json               stats: nCells, dim, nVecs — nVecs is always
+  *                          RECOMPUTED from the committed segments after a
+  *                          list flip, never incremented, so a crash
+  *                          between the flip and the stats write leaves a
+  *                          stale-but-self-healing value (the next
+  *                          append/search-stats refresh recomputes it)
   *
   * Append contract: new vectors are assigned against the FROZEN trained
   * centroids (exactly faiss `index.add` after `train` — recall for new
-  * data tracks how well the training sample covered it; retrain = rebuild).
+  * data tracks how well the training sample covered it). Retraining is a
+  * REBUILD INTO A FRESH DIR + caller-side swap (the compact() pattern):
+  * build() refuses a dir with a committed segment list, because
+  * overwriting the base segment in place would expose mixed old/new
+  * state to concurrent readers with no error.
+  *
+  * Idempotency: both build and append accept an optional segment NAME.
+  * An append whose name is already in the committed list is a no-op —
+  * the hook exactly-once ingestion rides (streaming/IvfIngest derives the
+  * name from the micro-batch id, so a replayed batch after a crash
+  * re-lands on the same segment instead of duplicating vectors).
+  *
   * Served results are bit-identical to the in-memory [[Ann.ivfTopK]] over
   * the same vectors and centroids (IvfIndexSpec pins it), so the
   * q_ann_ivf_sweep quality/cost table applies to the persisted form
@@ -35,10 +52,18 @@ import graft.io.{LocalMetaIO, MetaIO, ParquetDirIO, TableIO}
   */
 object IvfIndex {
 
-  /** Train (seed + Lloyd) and persist. `corpus` is (vec_id, vec). */
+  /** Train (seed + Lloyd) and persist into a FRESH dir (see class doc).
+    * `corpus` is (vec_id, vec). Commit order: segment -> centroids ->
+    * stats -> cells.list (marker LAST); a crashed build is invisible and
+    * a retry overwrites every partial artifact.
+    */
   def build(corpus: DataFrame, dir: String, nCells: Int, iters: Int,
             io: TableIO = ParquetDirIO,
-            meta: MetaIO = LocalMetaIO): Unit = {
+            meta: MetaIO = LocalMetaIO,
+            segmentName: String = "cells"): Unit = {
+    require(!meta.exists(s"$dir/cells.list"),
+      s"IvfIndex.build: $dir already holds a committed index — retrain " +
+        "rebuilds into a fresh dir and the caller swaps (the compact() pattern)")
     val c = corpus.select(col("vec_id").cast("long"),
       col("vec").cast("array<double>").as("vec"))
     val centroids = Ann.lloyd(c, Ann.seedCentroids(c, nCells), iters)
@@ -49,37 +74,43 @@ object IvfIndex {
     require(cents.nonEmpty, s"IvfIndex.build: no centroids at $dir")
     meta.mkdirs(dir)
     val assigned = Ann.assignCells(c, centsDf(corpus.sparkSession, cents))
-    writeSegment(assigned, s"$dir/cells", io)
-    val nVecs = io.read(corpus.sparkSession, s"$dir/cells").count()
+    writeSegment(assigned, s"$dir/$segmentName", io)
+    val nVecs = io.read(corpus.sparkSession, s"$dir/$segmentName").count()
     meta.writeAtomic(s"$dir/centroids.tsv", cents.map { case (id, v) =>
       s"$id\t${v.mkString(",")}"
     }.mkString("\n"))
     meta.writeAtomic(s"$dir/ivf.json",
       s"""{"nCells":${cents.length},"dim":${cents.head._2.length},"nVecs":$nVecs}""")
-    meta.writeAtomic(s"$dir/cells.list", "cells")
+    meta.writeAtomic(s"$dir/cells.list", segmentName) // commit marker LAST
   }
 
   /** Add vectors against the frozen centroids: a fresh segment dir, then
-    * the segment list flips atomically (crash leaves an invisible orphan a
-    * retry overwrites). Stats update after the data commit.
+    * the segment list flips atomically; stats recompute AFTER the flip
+    * (see class doc). A crash leaves an invisible orphan a retry
+    * overwrites; an append whose `segmentName` is already committed is a
+    * no-op (it still refreshes stats, healing a crashed prior attempt).
     */
   def append(newVecs: DataFrame, dir: String,
              io: TableIO = ParquetDirIO,
-             meta: MetaIO = LocalMetaIO): Unit = {
+             meta: MetaIO = LocalMetaIO,
+             segmentName: Option[String] = None): Unit = {
     val spark = newVecs.sparkSession
     val segs = segmentList(dir, meta)
     require(io.committed(s"$dir/${segs.head}"),
       s"IvfIndex.append: no committed index at $dir — run build first")
-    val cents = loadCentroids(dir, meta)
-    val c = newVecs.select(col("vec_id").cast("long"),
-      col("vec").cast("array<double>").as("vec"))
-    val next = s"cells-a${segs.length}"
-    writeSegment(Ann.assignCells(c, centsDf(spark, cents)), s"$dir/$next", io)
-    val nNew = io.read(spark, s"$dir/$next").count()
+    val next = segmentName.getOrElse(s"cells-a${segs.length}")
+    if (!segs.contains(next)) {
+      val cents = loadCentroids(dir, meta)
+      val c = newVecs.select(col("vec_id").cast("long"),
+        col("vec").cast("array<double>").as("vec"))
+      writeSegment(Ann.assignCells(c, centsDf(spark, cents)), s"$dir/$next", io)
+      meta.writeAtomic(s"$dir/cells.list", (segs :+ next).mkString("\n"))
+    }
+    // stats from the COMMITTED data, never incremental — self-healing
     val stats = readStats(dir, meta)
-    meta.writeAtomic(s"$dir/cells.list", (segs :+ next).mkString("\n"))
+    val nVecs = loadCells(spark, dir, io, meta).count()
     meta.writeAtomic(s"$dir/ivf.json",
-      s"""{"nCells":${stats("nCells")},"dim":${stats("dim")},"nVecs":${stats("nVecs") + nNew}}""")
+      s"""{"nCells":${stats("nCells")},"dim":${stats("dim")},"nVecs":$nVecs}""")
   }
 
   /** Top-k cosine over the persisted index: probe selection runs
@@ -99,19 +130,36 @@ object IvfIndex {
              allowedIds: Option[Array[Long]] = None,
              io: TableIO = ParquetDirIO,
              meta: MetaIO = LocalMetaIO): DataFrame = {
+    import spark.implicits._
     val cents = loadCentroids(dir, meta)
     val probes = Ann.probeCells(queries, centsDf(spark, cents), nProbe)
       .localCheckpoint() // pinned: reused for the pushdown filter AND the join
     val probedCells = probes.select(col("cell_id"))
       .distinct().collect().map(_.getLong(0)).sorted
     val tomb = loadTombstones(dir, meta)
+    // id-set filters: small sets ride the scan as pushdown-friendly IN
+    // predicates; large sets switch to broadcast joins (a 100k-element In
+    // bloats the plan and evaluates per row-group slower than a hash
+    // probe) — one shared threshold with the WAND term filters so the two
+    // serving paths can't drift
+    val isinMax = graft.query.Wand.IsinThreshold
     var cells = loadCells(spark, dir, io, meta)
-      .filter(col("cell_id").isin(probedCells: _*))
+    cells =
+      if (probedCells.length <= isinMax)
+        cells.filter(col("cell_id").isin(probedCells: _*))
+      else
+        cells.join(broadcast(probedCells.toSeq.toDF("cell_id")),
+          Seq("cell_id"), "left_semi")
     allowedIds.foreach { ids =>
-      cells = cells.filter(col("vec_id").isin(ids.toSeq: _*))
+      cells =
+        if (ids.length <= isinMax) cells.filter(col("vec_id").isin(ids.toSeq: _*))
+        else cells.join(broadcast(ids.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
     }
-    if (tomb.nonEmpty)
-      cells = cells.filter(!col("vec_id").isin(tomb.toSeq: _*))
+    if (tomb.nonEmpty) {
+      cells =
+        if (tomb.length <= isinMax) cells.filter(!col("vec_id").isin(tomb.toSeq: _*))
+        else cells.join(broadcast(tomb.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
+    }
     Ann.ivfTopKWithProbes(probes, cells, k)
   }
 

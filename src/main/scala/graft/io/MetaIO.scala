@@ -13,9 +13,10 @@ package graft.io
   *    either the previous content or the new complete content, never a
   *    partial file (the commit-marker protocol in PackedIndex depends on
   *    this; on object stores, a single PUT provides it natively).
-  *  - `version` is a cache-invalidation token that changes whenever the
-  *    file's content may have changed (mtime+size locally; ETag-like on
-  *    object stores). Used by query-side stats caches, never for ordering.
+  *  - cache-invalidation tokens are deliberately NOT part of this trait:
+  *    query-side caches derive them from file CONTENT (see
+  *    graft.query.IndexCache) because mtime/size-style tokens alias
+  *    same-millisecond equal-length rewrites and silently serve stale data.
   */
 trait MetaIO extends Serializable {
 
@@ -39,11 +40,6 @@ trait MetaIO extends Serializable {
     * deployment's shared scratch root (driver-local tmp in local mode).
     */
   def createTempDir(prefix: String): String
-
-  /** Change-detection token for `path` (see trait docs); any stable value
-    * for a missing path.
-    */
-  def version(path: String): Long
 }
 
 /** Driver-local POSIX implementation (the single-JVM / local-FS contract
@@ -77,7 +73,12 @@ object LocalMetaIO extends MetaIO {
 
   override def deleteRecursively(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rec)
+      if (f.isDirectory) {
+        // listFiles is null when the dir vanished or turned unreadable
+        // between checks (concurrent cleanup of shared staging trees)
+        val children = f.listFiles
+        if (children != null) children.foreach(rec)
+      }
       f.delete()
     }
     rec(new java.io.File(path))
@@ -85,12 +86,6 @@ object LocalMetaIO extends MetaIO {
 
   override def createTempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
-
-  override def version(path: String): Long = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) -1L
-    else Files.getLastModifiedTime(p).toMillis ^ (Files.size(p) << 20)
-  }
 }
 
 /** Sidecars addressed through the Hadoop FileSystem API (already on the
@@ -158,15 +153,5 @@ final class HadoopMetaIO(
       s"$prefix-${java.util.UUID.randomUUID().toString}")
     fs(p).mkdirs(p)
     p.toString
-  }
-
-  override def version(path: String): Long = {
-    val p = new Path(path)
-    val f = fs(p)
-    if (!f.exists(p)) -1L
-    else {
-      val st = f.getFileStatus(p)
-      st.getModificationTime ^ (st.getLen << 20)
-    }
   }
 }

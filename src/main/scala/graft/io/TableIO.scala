@@ -51,14 +51,9 @@ object ParquetDirIO extends TableIO {
   override def committed(location: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(location, "_SUCCESS"))
 
-  override def deleteIfExists(location: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rec)
-      f.delete()
-    }
-    val f = new java.io.File(location)
-    if (f.exists()) rec(f)
-  }
+  override def deleteIfExists(location: String): Unit =
+    if (new java.io.File(location).exists())
+      LocalMetaIO.deleteRecursively(location) // one local recursive delete impl
 }
 
 /** Parquet tables addressed through the Hadoop FileSystem API (already on

@@ -61,25 +61,34 @@ object IndexCache {
     }
   }
 
+  // one lock object per dir: token read + load + put run under it, so the
+  // multi-second Spark load never holds a ConcurrentHashMap bin lock where
+  // it would stall cache HITS for unrelated dirs sharing the bin
+  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The full term->df map for the index, or None when the vocabulary
     * exceeds [[MaxCachedTerms]]. Thread-safe with at most one load per
-    * (dir, token): the token read and the load both run inside
-    * ConcurrentHashMap.compute's per-key critical section, so concurrent
-    * callers can neither double-load nor overwrite a newer entry with an
-    * older map (the token a racing thread read before an append can't be
-    * written back — it is re-read under the lock). The load runs a Spark
-    * collect while holding the key's bin lock; loads for different dirs in
-    * other bins proceed in parallel, and serving hits never blocks longer
-    * than the token re-read.
+    * (dir, token): the token read, the load, and the cache write all run
+    * under a PER-DIR lock, so concurrent callers for one dir can neither
+    * double-load nor overwrite a newer entry with an older map (a racing
+    * thread's pre-append token can't be written back — it is re-read under
+    * the lock), while callers for other dirs proceed fully in parallel.
     */
   def dfMap(spark: SparkSession, dir: String,
             io: TableIO = ParquetDirIO,
-            meta: MetaIO = LocalMetaIO): Option[Map[String, Long]] =
-    cache.compute(dir, (_, old) => {
+            meta: MetaIO = LocalMetaIO): Option[Map[String, Long]] = {
+    val lock = dirLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
       val ver = token(dir, meta)
-      if (old != null && old._1 == ver) old
-      else (ver, load(spark, dir, io, meta))
-    })._2
+      val hit = cache.get(dir)
+      if (hit != null && hit._1 == ver) hit._2
+      else {
+        val loaded = load(spark, dir, io, meta)
+        cache.put(dir, (ver, loaded))
+        loaded
+      }
+    }
+  }
 
   private def load(spark: SparkSession, dir: String, io: TableIO,
                    meta: MetaIO): Option[Map[String, Long]] = {

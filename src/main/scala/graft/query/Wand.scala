@@ -37,7 +37,7 @@ object Wand {
     * parquet scan is slower to evaluate per row-group than a hash probe,
     * and bloats the plan string. Below it, pushdown prunes row groups.
     */
-  private val IsinThreshold = 512
+  private[graft] val IsinThreshold = 512
 
   /** One query prepared for the kernel. `tokens` is the raw token sequence
     * (repeats preserved — each occurrence scores, matching the reference's

@@ -21,12 +21,20 @@ object IvfIngest {
             indexDir: String, nCells: Int, iters: Int = 3,
             maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val meta = graft.io.LocalMetaIO
-    val handler: (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) =>
+    // Exactly-once across foreachBatch REPLAYS: every batch (including the
+    // bootstrap) lands in a segment NAMED BY ITS BATCH ID. A crash between
+    // the index commit and the stream's checkpoint write re-delivers the
+    // batch; the named-segment no-op in IvfIndex.append (and build's
+    // idempotent overwrite when cells.list never flipped) makes the replay
+    // re-land on the same segment instead of duplicating vectors.
+    val handler: (DataFrame, Long) => Unit = (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
+        val seg = s"cells-b$batchId"
         if (!meta.exists(s"$indexDir/cells.list"))
-          graft.ann.IvfIndex.build(batch, indexDir, nCells, iters)
+          graft.ann.IvfIndex.build(batch, indexDir, nCells, iters,
+            segmentName = seg)
         else
-          graft.ann.IvfIndex.append(batch, indexDir)
+          graft.ann.IvfIndex.append(batch, indexDir, segmentName = Some(seg))
       }
     spark.readStream
       .schema(schema)

@@ -105,6 +105,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(!filtered.exists(r => dead.contains(r._2)))
   }
 
+  test("named segments make replayed appends no-ops; build refuses a committed dir") {
+    val corpus = randCorpus(200, 8, 19)
+    val extra = randCorpus(50, 8, 20)
+      .select((col("vec_id") + 200L).as("vec_id"), col("vec"))
+    val queries = randCorpus(3, 8, 111)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfreplay").toString
+    IvfIndex.build(corpus, dir, nCells = 4, iters = 2, segmentName = "cells-b0")
+    IvfIndex.append(extra, dir, segmentName = Some("cells-b1"))
+    val once = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 4))
+    // replayed micro-batch (same segment name): must not duplicate vectors
+    IvfIndex.append(extra, dir, segmentName = Some("cells-b1"))
+    // replayed BOOTSTRAP batch arriving on the append path (the crash
+    // window between index commit and stream checkpoint): also a no-op
+    IvfIndex.append(corpus, dir, segmentName = Some("cells-b0"))
+    val twice = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 4))
+    assert(twice == once && once.nonEmpty)
+    assert(graft.io.LocalMetaIO.readString(s"$dir/ivf.json")
+      .contains("\"nVecs\":250"))
+    // retrain-in-place is refused: rebuild targets a fresh dir + swap
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.build(corpus, dir, nCells = 4, iters = 2)
+    }
+    assert(ex.getMessage.contains("fresh dir"))
+  }
+
   test("index lifecycle through the Hadoop IO pair == local pair") {
     val corpus = randCorpus(200, 8, 13)
     val queries = randCorpus(3, 8, 107)
