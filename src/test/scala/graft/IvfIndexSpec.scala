@@ -131,6 +131,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("fresh dir"))
   }
 
+  test("id-set filters above the isin threshold (broadcast join path) agree with small sets") {
+    assert(graft.query.Wand.IsinThreshold == 512)
+    val corpus = randCorpus(700, 8, 23)
+    val queries = randCorpus(3, 8, 113)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfbig").toString
+    IvfIndex.build(corpus, dir, nCells = 4, iters = 2)
+    // allowlist of 600 ids (> threshold -> broadcast semi-join) must equal
+    // brute restriction computed from the unfiltered result
+    val allowed = (0L until 600L).toArray
+    val unfiltered = rows(IvfIndex.search(spark, dir, queries, k = 700, nProbe = 4))
+    val viaBig = rows(IvfIndex.search(spark, dir, queries, k = 700, nProbe = 4,
+      allowedIds = Some(allowed)))
+    val wantIds = unfiltered.filter(r => r._2 < 600L).map(r => (r._1, r._2, r._3))
+    assert(viaBig.map(r => (r._1, r._2, r._3)) == wantIds && viaBig.nonEmpty)
+    // tombstone set of 600 ids (> threshold -> broadcast anti-join)
+    IvfIndex.delete(dir, (100L until 700L))
+    val afterDel = rows(IvfIndex.search(spark, dir, queries, k = 700, nProbe = 4))
+    assert(afterDel.nonEmpty && afterDel.forall(_._2 < 100L))
+    assert(afterDel.map(r => (r._1, r._2, r._3)) ==
+      unfiltered.filter(_._2 < 100L).map(r => (r._1, r._2, r._3)))
+  }
+
   test("index lifecycle through the Hadoop IO pair == local pair") {
     val corpus = randCorpus(200, 8, 13)
     val queries = randCorpus(3, 8, 107)
