@@ -36,6 +36,25 @@ object Phrase {
           }.reduce(_ && _), lit(1L)).otherwise(lit(0L))))
   }
 
+  /** Let-binding for per-term position arrays: each term's sorted position
+    * array is computed ONCE per row and handed to `body`. Catalyst has no
+    * let — a Column spliced into a higher-order-function lambda is
+    * re-evaluated on EVERY lambda invocation, so the window-count folds
+    * below would otherwise re-filter the whole token array per anchor
+    * position (O(len^2 x terms) per doc, measured as the dominant cost of
+    * the proximity/NEAR rescan paths). A transform over a singleton struct
+    * array evaluates the captured arrays exactly once.
+    */
+  private def withPositions(termsCol: Column, terms: Seq[String])(
+      body: Seq[Column] => Column): Column = {
+    val idx = sequence(lit(1), size(termsCol))
+    val arrays = struct(terms.zipWithIndex.map { case (t, i) =>
+      filter(idx, j => get(termsCol, j - 1) === lit(t)).as(s"p$i")
+    }: _*)
+    element_at(transform(array(arrays), s =>
+      body(terms.indices.map(i => s.getField(s"p$i")))), 1)
+  }
+
   /** Ordered proximity count: number of (p, q) occurrence pairs with
     * `a` at p, `b` at q, and 0 < q - p <= slop (an ordered within-window
     * co-occurrence count; slop = 1 degenerates to the bigram phrase count).
@@ -44,12 +63,11 @@ object Phrase {
     */
   def proximityCount(terms: Column, a: String, b: String, slop: Int): Column = {
     require(slop >= 1, "proximityCount: slop must be >= 1")
-    val idx = sequence(lit(1), size(terms))
-    val posA = filter(idx, i => get(terms, i - 1) === lit(a))
-    val posB = filter(idx, i => get(terms, i - 1) === lit(b))
     when(size(terms) < 1, lit(0L)).otherwise(
-      aggregate(posA, lit(0L), (acc, p) =>
-        acc + size(filter(posB, q => q > p && q <= p + lit(slop))).cast("long")))
+      withPositions(terms, Seq(a, b)) { case Seq(posA, posB) =>
+        aggregate(posA, lit(0L), (acc, p) =>
+          acc + size(filter(posB, q => q > p && q <= p + lit(slop))).cast("long"))
+      })
   }
 
   /** Top-k docs by ordered proximity count (corpus-rescan verify path —
@@ -115,15 +133,15 @@ object Phrase {
     require(slop >= 1, "nearCount: slop must be >= 1")
     require(terms.length >= 2 && terms.distinct == terms,
       "nearCount: need >= 2 distinct terms")
-    val idx = sequence(lit(1), size(termsCol))
-    def posOf(t: String) = filter(idx, i => get(termsCol, i - 1) === lit(t))
     when(size(termsCol) < 1, lit(0L)).otherwise(
-      aggregate(posOf(terms.head), lit(0L), (acc, p) =>
-        acc + when(
-          terms.tail.map(t =>
-            exists(posOf(t), q => q >= p - slop && q <= p + slop))
-            .reduce(_ && _),
-          lit(1L)).otherwise(lit(0L))))
+      withPositions(termsCol, terms) { ps =>
+        aggregate(ps.head, lit(0L), (acc, p) =>
+          acc + when(
+            ps.tail.map(pt =>
+              exists(pt, q => q >= p - slop && q <= p + slop))
+              .reduce(_ && _),
+            lit(1L)).otherwise(lit(0L)))
+      })
   }
 
   /** Top-k docs by unordered NEAR count (corpus-rescan verify path — the
