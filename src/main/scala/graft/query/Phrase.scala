@@ -95,9 +95,11 @@ object Phrase {
     */
   def proximityTopKPositional(spark: org.apache.spark.sql.SparkSession,
                               indexDir: String, a: String, b: String,
-                              slop: Int, k: Int): DataFrame = {
+                              slop: Int, k: Int,
+                              io: graft.io.TableIO = graft.io.ParquetDirIO,
+                              meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
     require(slop >= 1, "proximityTopKPositional: slop must be >= 1")
-    positionalKernelTopK(spark, indexDir, Seq(a, b), k, "prox_tf") {
+    positionalKernelTopK(spark, indexDir, Seq(a, b), k, "prox_tf", io, meta) {
       (slotPos: Array[Array[Long]]) =>
         val posA = slotPos(0)
         val posB = slotPos(1)
@@ -169,11 +171,13 @@ object Phrase {
     */
   def nearTopKPositional(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, terms: Seq[String],
-                         slop: Int, k: Int): DataFrame = {
+                         slop: Int, k: Int,
+                         io: graft.io.TableIO = graft.io.ParquetDirIO,
+                         meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
     require(slop >= 1, "nearTopKPositional: slop must be >= 1")
     require(terms.length >= 2 && terms.distinct == terms,
       "nearTopKPositional: need >= 2 distinct terms")
-    positionalKernelTopK(spark, indexDir, terms, k, "near_tf") {
+    positionalKernelTopK(spark, indexDir, terms, k, "near_tf", io, meta) {
       (slotPos: Array[Array[Long]]) =>
         val anchors = slotPos(0)
         var cnt = 0L
@@ -217,12 +221,14 @@ object Phrase {
     * against the stored index. Honors tombstones.
     */
   def candidatesPacked(spark: org.apache.spark.sql.SparkSession,
-                       indexDir: String, phrase: Seq[String]): DataFrame = {
+                       indexDir: String, phrase: Seq[String],
+                       io: graft.io.TableIO = graft.io.ParquetDirIO,
+                       meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
     import spark.implicits._
     val distinctTerms = phrase.distinct
-    val tomb = graft.index.PackedIndex.loadTombstones(indexDir)
+    val tomb = graft.index.PackedIndex.loadTombstones(indexDir, meta)
     val bcTomb = spark.sparkContext.broadcast(tomb)
-    val pairs = graft.index.PackedIndex.loadPostings(spark, indexDir)
+    val pairs = graft.index.PackedIndex.loadPostings(spark, indexDir, io, meta)
       .filter(col("term").isin(distinctTerms: _*))
       .flatMap { pp =>
         val t = bcTomb.value
@@ -266,8 +272,10 @@ object Phrase {
     * per shard the work is |rarest term's postings| binary searches.
     */
   def topKPositional(spark: org.apache.spark.sql.SparkSession,
-                     indexDir: String, phrase: Seq[String], k: Int): DataFrame =
-    positionalKernelTopK(spark, indexDir, phrase, k, "phrase_tf") {
+                     indexDir: String, phrase: Seq[String], k: Int,
+                     io: graft.io.TableIO = graft.io.ParquetDirIO,
+                     meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame =
+    positionalKernelTopK(spark, indexDir, phrase, k, "phrase_tf", io, meta) {
       (slotPos: Array[Array[Long]]) =>
         // adjacency: leader position p matches iff slot j holds p + j
         val leader = slotPos(0)
@@ -296,7 +304,9 @@ object Phrase {
     */
   private def positionalKernelTopK(spark: org.apache.spark.sql.SparkSession,
                                    indexDir: String, slotTerms: Seq[String],
-                                   k: Int, countCol: String)(
+                                   k: Int, countCol: String,
+                                   io: graft.io.TableIO = graft.io.ParquetDirIO,
+                                   meta: graft.io.MetaIO = graft.io.LocalMetaIO)(
       countFn: Array[Array[Long]] => Long): DataFrame = {
     import spark.implicits._
     require(slotTerms.nonEmpty, "positionalKernelTopK: no terms")
@@ -306,16 +316,16 @@ object Phrase {
     // fail loudly. df lookups ride the same version-invalidated cache the
     // WAND serving path uses (no per-query df scan for bounded vocabularies)
     val dfCounts: Map[String, Long] =
-      IndexCache.dfMap(spark, indexDir) match {
+      IndexCache.dfMap(spark, indexDir, io, meta) match {
         case Some(full) =>
           distinctTerms.iterator.flatMap(t => full.get(t).map(t -> _)).toMap
         case None =>
-          graft.index.PackedIndex.loadDf(spark, indexDir)
+          graft.index.PackedIndex.loadDf(spark, indexDir, io, meta)
             .filter(col("term").isin(distinctTerms: _*))
             .select(col("term"), col("df"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
-    val posRows = graft.index.PositionalIndex.load(spark, indexDir)
+    val posRows = graft.index.PositionalIndex.load(spark, indexDir, io, meta)
       .filter(col("term").isin(distinctTerms: _*))
     val posCounts = posRows.groupBy(col("term"))
       .agg(sum(col("nPostings")).as("np"))
@@ -331,7 +341,7 @@ object Phrase {
     if (distinctTerms.exists(t => dfCounts.getOrElse(t, 0L) == 0L))
       return spark.emptyDataset[(Long, Long)].toDF("doc_id", countCol)
         .withColumn("rank", lit(1)).limit(0)
-    val tomb = graft.index.PackedIndex.loadTombstones(indexDir)
+    val tomb = graft.index.PackedIndex.loadTombstones(indexDir, meta)
     val bcTomb = spark.sparkContext.broadcast(tomb)
     val bcSlots = spark.sparkContext.broadcast(slotTerms.toArray)
     val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)

@@ -64,6 +64,30 @@ class HadoopIoSpec extends SparkSpec {
     assert(viaHadoop == viaLocal && viaLocal.nonEmpty)
   }
 
+  test("positional phrase/NEAR search through the Hadoop pair == local pair") {
+    def tok(rows: (Long, String)*) = graft.index.InvertedIndex.tokenize(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    val docs = Seq(0L -> "x table deep scan y table scan",
+      1L -> "table scan query z", 2L -> "scan table q table scan query")
+    def run(io: graft.io.TableIO, meta: graft.io.MetaIO) = {
+      val dir = Files.createTempDirectory("graft-hio-pos").toString
+      val t = tok(docs: _*)
+      graft.index.PackedIndex.build(t, dir, shardBits = 2, groups = 1,
+        io = io, meta = meta)
+      graft.index.PositionalIndex.build(t, dir, io = io, meta = meta)
+      graft.query.IndexCache.invalidateAll()
+      def rows3(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      (rows3(graft.query.Phrase.topKPositional(spark, dir,
+        Seq("table", "scan"), 10, io = io, meta = meta)),
+        rows3(graft.query.Phrase.nearTopKPositional(spark, dir,
+          Seq("table", "scan", "query"), slop = 4, k = 10, io = io, meta = meta)))
+    }
+    val viaLocal = run(ParquetDirIO, LocalMetaIO)
+    val viaHadoop = run(HadoopTableIO, hMeta)
+    assert(viaHadoop == viaLocal && viaLocal._1.nonEmpty && viaLocal._2.nonEmpty)
+  }
+
   test("searchDs cleans stale hits through the TableIO boundary on a reused staging dir") {
     val dir = Files.createTempDirectory("graft-hio-ds").toString
     corpus.PagesPipeline.buildIndex(
