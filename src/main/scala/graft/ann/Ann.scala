@@ -167,11 +167,30 @@ object Ann {
     * the 2M-vector scale point, where the join+window form was slower than
     * a full brute-force scan.
     */
+  /** Driver-memory bound for [[ivfTopKKernel]]'s collected probe set, in
+    * DOUBLES (rows x dim): the kernel collects (query_id, qvec) per probed
+    * cell to the driver and broadcasts it, so its footprint is
+    * ~8 bytes x nq x nProbe x dim. 64M doubles = ~512 MB — safe under the
+    * default driver heap; batches above it degrade to the fully-distributed
+    * [[ivfTopKWithProbes]] plan instead of OOM-ing the driver.
+    */
+  val KernelMaxProbeDoubles: Long = 64000000L
+
   def ivfTopKKernel(probes: DataFrame, corpusWithCell: DataFrame,
                     k: Int): DataFrame = {
     require(k > 0, s"ivfTopKKernel: k must be positive (got $k)")
     val spark = corpusWithCell.sparkSession
     import spark.implicits._
+    // one small agg job bounds the collect BEFORE it happens (the probe set
+    // is nq x nProbe rows — typically tiny, but nothing upstream caps nq)
+    val sz = probes.agg(count(lit(1)), max(size(col("qvec")))).first()
+    val probeDoubles = sz.getLong(0) * (if (sz.isNullAt(1)) 0L else sz.getInt(1).toLong)
+    if (probeDoubles > KernelMaxProbeDoubles) {
+      System.err.println(s"graft.Ann.ivfTopKKernel: probe set of " +
+        s"$probeDoubles doubles exceeds broadcast bound $KernelMaxProbeDoubles" +
+        " — falling back to the distributed join+window plan")
+      return ivfTopKWithProbes(probes, corpusWithCell, k)
+    }
     val probeArr = probes
       .select(col("cell_id").cast("long"), col("query_id").cast("long"),
         col("qvec").cast("array<double>"))

@@ -67,25 +67,36 @@ object IndexCache {
   private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** The full term->df map for the index, or None when the vocabulary
-    * exceeds [[MaxCachedTerms]]. Thread-safe with at most one load per
-    * (dir, token): the token read, the load, and the cache write all run
-    * under a PER-DIR lock, so concurrent callers for one dir can neither
-    * double-load nor overwrite a newer entry with an older map (a racing
-    * thread's pre-append token can't be written back — it is re-read under
-    * the lock), while callers for other dirs proceed fully in parallel.
+    * exceeds [[MaxCachedTerms]]. Hits are LOCK-FREE: a token compare against
+    * the cached entry (the token read is a driver-local md5 of a few hundred
+    * bytes) serves without touching the per-dir lock, so queries against a
+    * dir never stall behind another thread's in-flight multi-second load of
+    * the SAME dir when a valid entry already exists (an append-triggered
+    * reload used to block every concurrent query on that index).
+    *
+    * Misses take the per-dir lock with a double-check: the token is re-read
+    * and the cache re-consulted under the lock, so at most one load runs per
+    * (dir, token) and a racing thread's pre-append token can never overwrite
+    * a newer entry (it re-reads before writing). Callers for other dirs are
+    * never serialized.
     */
   def dfMap(spark: SparkSession, dir: String,
             io: TableIO = ParquetDirIO,
             meta: MetaIO = LocalMetaIO): Option[Map[String, Long]] = {
-    val lock = dirLocks.computeIfAbsent(dir, _ => new Object)
-    lock.synchronized {
-      val ver = token(dir, meta)
-      val hit = cache.get(dir)
-      if (hit != null && hit._1 == ver) hit._2
-      else {
-        val loaded = load(spark, dir, io, meta)
-        cache.put(dir, (ver, loaded))
-        loaded
+    val fastVer = token(dir, meta)
+    val fastHit = cache.get(dir)
+    if (fastHit != null && fastHit._1 == fastVer) fastHit._2
+    else {
+      val lock = dirLocks.computeIfAbsent(dir, _ => new Object)
+      lock.synchronized {
+        val ver = token(dir, meta)
+        val hit = cache.get(dir)
+        if (hit != null && hit._1 == ver) hit._2
+        else {
+          val loaded = load(spark, dir, io, meta)
+          cache.put(dir, (ver, loaded))
+          loaded
+        }
       }
     }
   }

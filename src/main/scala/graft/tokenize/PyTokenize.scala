@@ -41,11 +41,11 @@ object PyTokenize extends Serializable {
     out.toArray
   }
 
-  /** Column form of the parity tokenizer (JVM scala udf — used where exact
-    * Python whitespace semantics are required; codegen'd `split` below is
-    * preferred in the hot path when the corpus is known ASCII-clean).
-    */
-  val pySplitUdf = udf((s: String) => split(s))
+  // NOTE: there is deliberately NO udf wrapper for [[split]] here — the
+  // column-level tokenize path is the native codegen'd Catalyst expression
+  // (graft.plans.PyWsTokenize); a Scala UDF would silently break
+  // whole-stage codegen if someone reached for it. PlanHygieneSpec pins
+  // the no-tokenize-UDF invariant on the contract plans.
 
   /** Codegen-friendly tokenizer: ASCII-whitespace regex split with empty
     * removal. Identical to [[split]] on text whose only whitespace is ASCII

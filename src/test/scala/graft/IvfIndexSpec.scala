@@ -90,14 +90,14 @@ class IvfIndexSpec extends SparkSpec {
     // delete the top hit of each query: it must vanish, survivors keep
     // their exact cosine (visibility-only semantics)
     val dead = before.filter(_._4 == 1).map(_._2).toSeq.distinct
-    IvfIndex.delete(dir, dead)
+    IvfIndex.delete(spark, dir, dead)
     val after = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 8))
     assert(!after.exists(r => dead.contains(r._2)), s"deleted ids resurfaced")
     val beforeScores = before.map(r => (r._1, r._2) -> r._3).toMap
     after.foreach { r =>
       beforeScores.get((r._1, r._2)).foreach(s => assert(s == r._3)) }
     // re-delete is a no-op; allowlist restricts candidates further
-    IvfIndex.delete(dir, dead)
+    IvfIndex.delete(spark, dir, dead)
     val allowed = after.map(_._2).toArray.distinct.sorted.take(5)
     val filtered = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 8,
       allowedIds = Some(allowed)))
@@ -147,7 +147,7 @@ class IvfIndexSpec extends SparkSpec {
     val wantIds = unfiltered.filter(r => r._2 < 600L).map(r => (r._1, r._2, r._3))
     assert(viaBig.map(r => (r._1, r._2, r._3)) == wantIds && viaBig.nonEmpty)
     // tombstone set of 600 ids (> threshold -> broadcast anti-join)
-    IvfIndex.delete(dir, (100L until 700L))
+    IvfIndex.delete(spark, dir, (100L until 700L))
     val afterDel = rows(IvfIndex.search(spark, dir, queries, k = 700, nProbe = 4))
     assert(afterDel.nonEmpty && afterDel.forall(_._2 < 100L))
     assert(afterDel.map(r => (r._1, r._2, r._3)) ==
@@ -167,5 +167,124 @@ class IvfIndexSpec extends SparkSpec {
     val viaLocal = run(graft.io.ParquetDirIO, graft.io.LocalMetaIO)
     val viaHadoop = run(graft.io.HadoopTableIO, new graft.io.HadoopMetaIO())
     assert(viaLocal == viaHadoop && viaLocal.nonEmpty)
+  }
+
+  test("compact applies tombstones physically; re-delete of a compacted id is a no-op") {
+    val corpus = randCorpus(300, 16, 29)
+    val queries = randCorpus(4, 16, 115)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfcpt-src").toString
+    val out = Files.createTempDirectory("graft-ivfcpt-out").toString
+    IvfIndex.build(corpus, dir, nCells = 8, iters = 3)
+    val dead = (0L until 60L).toSeq
+    IvfIndex.delete(spark, dir, dead)
+    val tombstoned = rows(IvfIndex.search(spark, dir, queries, k = 10, nProbe = 8))
+    IvfIndex.compact(spark, dir, out)
+    // compacted serving == tombstoned serving on the source (same frozen
+    // centroids, survivors only) — and == the in-memory kernel over the
+    // survivor corpus assigned with those centroids (bit-identical)
+    val compacted = rows(IvfIndex.search(spark, out, queries, k = 10, nProbe = 8))
+    assert(compacted == tombstoned && compacted.nonEmpty)
+    val cents = IvfIndex.loadCentroids(out)
+      .toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "cvec")
+    val survivors = corpus.filter(col("vec_id") >= 60L)
+    val want = rows(Ann.ivfTopK(queries,
+      Ann.assignCells(survivors, cents), cents, k = 10, nProbe = 8))
+    assert(compacted == want)
+    // stats recomputed over survivors; tombstones gone; holes carry the dead
+    val stats = graft.io.LocalMetaIO.readString(s"$out/ivf.json")
+    assert(stats.contains("\"nVecs\":240"), stats)
+    assert(IvfIndex.loadTombstones(out).isEmpty)
+    assert(IvfIndex.loadHoles(out).toSeq == dead)
+    // re-issued erasure of an already-compacted id: no-op, not an error,
+    // and it must NOT enter the tombstone set
+    IvfIndex.delete(spark, out, Seq(10L, 20L))
+    assert(IvfIndex.loadTombstones(out).isEmpty)
+    assert(rows(IvfIndex.search(spark, out, queries, k = 10, nProbe = 8)) == compacted)
+  }
+
+  test("delete fails loudly on ids that never named a committed vector") {
+    val corpus = randCorpus(100, 8, 31)
+    val dir = Files.createTempDirectory("graft-ivfdel-unk").toString
+    IvfIndex.build(corpus, dir, nCells = 4, iters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.delete(spark, dir, Seq(5L, 9999L))
+    }
+    assert(ex.getMessage.contains("9999"))
+    assert(IvfIndex.loadTombstones(dir).isEmpty) // nothing half-applied
+  }
+
+  test("f32 storage: half the vec bytes, rank-identical serving to f64") {
+    val corpus = randCorpus(400, 32, 37)
+    val queries = randCorpus(5, 32, 117)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val d64 = Files.createTempDirectory("graft-ivf64").toString
+    val d32 = Files.createTempDirectory("graft-ivf32").toString
+    IvfIndex.build(corpus, d64, nCells = 8, iters = 3)
+    IvfIndex.build(corpus, d32, nCells = 8, iters = 3, storage = "f32")
+    // training happens BEFORE quantization -> identical centroids
+    assert(IvfIndex.loadCentroids(d64).map { case (i, v) => (i, v.toSeq) }.toSeq ==
+      IvfIndex.loadCentroids(d32).map { case (i, v) => (i, v.toSeq) }.toSeq)
+    // persisted element type is FLOAT and the dequantized read is double
+    val sch = spark.read.parquet(s"$d32/cells").schema("vec").dataType
+    assert(sch.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType, sch.toString)
+    assert(graft.io.LocalMetaIO.readString(s"$d32/ivf.json").contains("\"storage\":\"f32\""))
+    // ranks (query_id, vec_id, rank) identical on this corpus; scores may
+    // differ in last ulps from the quantization — that is the documented
+    // contract (rank parity, not score hashes)
+    val r64 = rows(IvfIndex.search(spark, d64, queries, k = 10, nProbe = 4))
+      .map(r => (r._1, r._2, r._4))
+    val r32 = rows(IvfIndex.search(spark, d32, queries, k = 10, nProbe = 4))
+      .map(r => (r._1, r._2, r._4))
+    assert(r32 == r64 && r64.nonEmpty)
+    // appends inherit the index's storage mode
+    val extra = randCorpus(50, 32, 38)
+      .select((col("vec_id") + 400L).as("vec_id"), col("vec"))
+    IvfIndex.append(extra, d32)
+    val sch2 = spark.read.parquet(s"$d32/cells-a1").schema("vec").dataType
+    assert(sch2.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType)
+  }
+
+  test("autoCells derives ~sqrt(N) with clamps; build(nCells=0) uses it") {
+    assert(IvfIndex.autoCells(100) == 16)     // lower clamp
+    assert(IvfIndex.autoCells(1000) == 32)    // ceil(sqrt)
+    assert(IvfIndex.autoCells(1000000000L) == 31623)
+    assert(IvfIndex.autoCells(4000000000L) == 32768) // upper clamp
+    val corpus = randCorpus(400, 8, 41)
+    val dir = Files.createTempDirectory("graft-ivfauto").toString
+    IvfIndex.build(corpus, dir, nCells = 0, iters = 2)
+    // 400 vecs -> 20 derived cells; Lloyd may drop empty cells, so pin
+    // nCells == surviving centroid count and within (2, 20]
+    val nCells = IvfIndex.readStats(dir)("nCells").toInt
+    assert(nCells == IvfIndex.loadCentroids(dir).length)
+    assert(nCells > 2 && nCells <= 20, s"derived nCells=$nCells")
+    val queries = randCorpus(3, 8, 119)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    assert(rows(IvfIndex.search(spark, dir, queries, k = 5, nProbe = 4)).nonEmpty)
+  }
+
+  test("cells.list carries per-segment counts; legacy count-less lists self-heal") {
+    val base = randCorpus(200, 8, 43)
+    val extra = randCorpus(40, 8, 44)
+      .select((col("vec_id") + 200L).as("vec_id"), col("vec"))
+    val dir = Files.createTempDirectory("graft-ivfcnt").toString
+    IvfIndex.build(base, dir, nCells = 4, iters = 2)
+    IvfIndex.append(extra, dir)
+    val lines = graft.io.LocalMetaIO.readString(s"$dir/cells.list").split("\n")
+    assert(lines.length == 2 && lines.forall(_.contains("\t")), lines.mkString("|"))
+    assert(lines.map(_.split("\t")(1).toLong).sum == 240L)
+    // strip the counts (a round-5 index) — the next append must heal the
+    // lines back to counted form and still land on the right nVecs
+    graft.io.LocalMetaIO.writeAtomic(s"$dir/cells.list",
+      lines.map(_.split("\t")(0)).mkString("\n"))
+    val extra2 = randCorpus(10, 8, 45)
+      .select((col("vec_id") + 240L).as("vec_id"), col("vec"))
+    IvfIndex.append(extra2, dir)
+    val healed = graft.io.LocalMetaIO.readString(s"$dir/cells.list").split("\n")
+    assert(healed.length == 3 && healed.forall(_.contains("\t")))
+    assert(graft.io.LocalMetaIO.readString(s"$dir/ivf.json")
+      .contains("\"nVecs\":250"))
   }
 }

@@ -112,6 +112,19 @@ class PlanHygieneSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("tokenize paths carry no UDF node — native expression only") {
+    // The Python-parity tokenizer must reach plans ONLY as the codegen'd
+    // Catalyst expression (plans/PyWsTokenize); a Scala UDF here would
+    // break whole-stage codegen on the hottest path in the engine. The one
+    // sanctioned UDF in the contract is the HTML extraction kernel, which
+    // never appears in these tokenize-only plans.
+    Seq("q_token_count", "q_postings", "q_bm25_topk").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("UDF"), s"$q plan contains a UDF:\n${plan.take(800)}")
+    }
+  }
+
   test("stopword filtering preserves duplicate non-stopword tokens") {
     import spark.implicits._
     val df = Seq((1L, "the cat the cat sat on a mat cat")).toDF("doc_id", "text")
