@@ -23,6 +23,54 @@ object Bench {
     * (measured in a verified-clean window); a sentinel far below that marks
     * the rep contaminated.
     */
+  /** Nominal single-thread sentinel on this host class, measured in a
+    * verified-clean window; a reading below [[DegradedFraction]] of it
+    * marks the measurement window degraded IN THE ARTIFACT.
+    */
+  val NominalMops = 800.0
+  val DegradedFraction = 0.95
+
+  /** Delete the engine's own accumulated scratch BEFORE the timed section.
+    * Round-5 post-mortem (BENCH/METHODOLOGY.md): ~21 GB of stale bench
+    * scratch under the tmpfs java.io.tmpdir depressed local[32] throughput
+    * ~35% with 100 GB RAM still free — and the CPU sentinel does NOT
+    * detect that state, so the artifact shipped a phantom regression twice.
+    * Only `graft-*`-prefixed entries are touched (this engine's temp dirs
+    * and staging); other processes' scratch is left alone. Returns bytes
+    * removed so the artifact records what the window would have carried.
+    */
+  def cleanOwnScratch(): Long = {
+    var removed = 0L
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rmTree) finally s.close()
+      } else removed += (try java.nio.file.Files.size(p) catch { case _: Exception => 0L })
+      try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () }
+    }
+    def cleanChildren(root: java.nio.file.Path,
+                      keep: java.nio.file.Path => Boolean): Unit =
+      if (java.nio.file.Files.isDirectory(root)) {
+        val s = java.nio.file.Files.list(root)
+        try s.forEach(child => if (!keep(child)) rmTree(child)) finally s.close()
+      }
+    // /dev/shm/graft-tmp is this engine's DEDICATED tmpfs tmpdir: every
+    // child (spark-*/blockmgr-* shuffle scratch from past runs) is ours,
+    // EXCEPT it may also be the current java.io.tmpdir — freshly created
+    // entries of this very JVM are ours too and safe to drop pre-session
+    cleanChildren(java.nio.file.Paths.get("/dev/shm/graft-tmp"), _ => false)
+    // under a generic shared tmpdir, only graft-* entries are known ours —
+    // except graft-scale, the PERSISTED scaling corpus reused across rounds
+    val tmpdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    if (tmpdir.toString != "/dev/shm/graft-tmp")
+      cleanChildren(tmpdir, { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("graft-") || n.startsWith("graft-scale")
+      })
+    removed
+  }
+
   def calibMops(): Double = {
     def spin(n: Int): Double = {
       val t0 = System.nanoTime()
@@ -77,6 +125,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "100000").toLong
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "400").toInt
+    // self-defense #1: the timed window must not inherit scratch pressure
+    // from previous runs (round-5 shipped a ~35% phantom regression that
+    // way); the removed volume is recorded in the artifact
+    val scratchRemoved = cleanOwnScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -118,6 +170,10 @@ object Bench {
     query.Wand.searchDs(spark, idxDir, ds2Df, k = 10, chunkSize = 10000).count()
     val ds2Sec = (System.nanoTime() - t3) / 1e9
     val ds2Qps = nDs2 / ds2Sec
+
+    // self-defense #2: mid-battery sentinel — a host slow-phase that opens
+    // AFTER the start calibration still marks the artifact
+    val calibMid = calibMops()
 
     // operator battery on the sf dir (headline subset)
     val headline = Seq("q_bm25_topk", "q_bm25_wand_topk", "q_postings",
@@ -178,8 +234,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val calibEnd = calibMops()
+    // self-defense #3: the artifact SAYS when its window was degraded —
+    // any sentinel below DegradedFraction x nominal means the numbers
+    // understate the engine (compare against the clean-window table in
+    // BENCH/METHODOLOGY.md instead of concluding a regression)
+    val windowDegraded =
+      math.min(calibStart, math.min(calibMid, calibEnd)) <
+        DegradedFraction * NominalMops
     println(
-      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"ds_batch_qps":${f"$dsQps%.1f"},"ds_100k_qps":${f"$ds2Qps%.1f"},"n_pages":$nPages,"n_queries":$nQueries,"n_ds_queries":$nDsQueries,"n_ds2_queries":$nDs2,"cpu_calib_start_mops":${f"$calibStart%.0f"},"cpu_calib_end_mops":${f"$calibEnd%.0f"}}""")
+      s"""{"metric":"build ${f"$buildDocsPerSec%.0f"} docs/sec; query ${f"$queriesPerSec%.1f"} q/s; total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","build_docs_per_sec":${f"$buildDocsPerSec%.1f"},"query_qps":${f"$queriesPerSec%.1f"},"ds_batch_qps":${f"$dsQps%.1f"},"ds_100k_qps":${f"$ds2Qps%.1f"},"n_pages":$nPages,"n_queries":$nQueries,"n_ds_queries":$nDsQueries,"n_ds2_queries":$nDs2,"cpu_calib_start_mops":${f"$calibStart%.0f"},"cpu_calib_mid_mops":${f"$calibMid%.0f"},"cpu_calib_end_mops":${f"$calibEnd%.0f"},"scratch_removed_bytes":$scratchRemoved,"window_degraded":$windowDegraded}""")
     spark.stop()
   }
 }

@@ -37,6 +37,7 @@ object DedupBench {
     val families: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
       else Set("exact", "minhash", "simhash", "simhash_wide", "jaccard", "embed")
+    Bench.cleanOwnScratch() // never measure under prior runs' scratch pressure
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       // x4 over-decomposition keeps per-task shuffle state small on the

@@ -97,6 +97,8 @@ object ScalingBench {
       // and is applied identically to both core counts.
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       val runs = (1 to reps).map { i =>
+        Bench.cleanOwnScratch() // each rep starts scratch-clean (tmpfs spill
+        // from the previous rep would depress this one — round-5 lesson)
         val r = runAt(cores.toInt, path, nPages.toLong, nQueries.toInt)
         println(s"""{"rep":$i,"cores":${r.cores},"buildDocsPerSec":${f"${r.buildDocsPerSec}%.1f"},"qps":${f"${r.qps}%.1f"}}""")
         r
