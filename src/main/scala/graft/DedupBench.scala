@@ -36,7 +36,8 @@ object DedupBench {
     // skip the completed ones
     val families: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
-      else Set("exact", "minhash", "simhash", "simhash_wide", "jaccard", "embed")
+      else Set("exact", "minhash", "simhash", "simhash_wide", "jaccard",
+        "embed", "components")
     Bench.cleanOwnScratch() // never measure under prior runs' scratch pressure
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -193,6 +194,30 @@ object DedupBench {
         .agg(coalesce(count(lit(1)), lit(0L)),
           coalesce(sum(col("bsz")), lit(0L))).first()
       println(s"""{"family":"embed_neardup_lsh","sec":${f"$embSec%.2f"},"vecs_per_sec":${f"${nVec / embSec}%.0f"},"pairs":$embPairs,"lsh_bits":$bits,"num_tables":$embTables,"bucket_cap":$embCap,"buckets_dropped":${embDrop.getLong(0)},"rows_dropped":${embDrop.getLong(1)},"n_vecs":$nVec}""")
+    }
+
+    if (families("components")) {
+      // pairs -> clusters -> canonical survivors: large-star/small-star
+      // connected components over the wide-simhash pair graph (the at-scale
+      // near-dup family), then survivor accounting — the dedup OUTPUT step.
+      // Pairs are staged untimed (their generation is the simhash_wide
+      // family's own row); the timed section is the component computation.
+      val pairsPath = s"$tmp/cc-pairs"
+      Dedup.simhashPairsWide(docs, maxHamming = 3, maxBucketSize = simCap)
+        .select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(pairsPath)
+      val pairs = spark.read.parquet(pairsPath)
+      val nPairs = pairs.count()
+      val (ccSec, labels) = timed {
+        val l = Dedup.connectedComponents(pairs).localCheckpoint()
+        l.count()
+        l
+      }
+      val acct = labels.agg(count(lit(1)),
+        countDistinct(col("component_id"))).first()
+      val nMembers = acct.getLong(0)
+      val nClusters = acct.getLong(1)
+      println(s"""{"family":"components","sec":${f"$ccSec%.2f"},"docs_per_sec":${f"${nDocs / ccSec}%.0f"},"pairs":$nPairs,"paired_docs":$nMembers,"clusters":$nClusters,"docs_removed":${nMembers - nClusters},"n_docs":$nDocs}""")
     }
 
     val calib1 = Bench.calibMops()

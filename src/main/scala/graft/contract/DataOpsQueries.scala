@@ -220,6 +220,37 @@ object DataOpsQueries {
       val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id"))
       val b = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id"))
       a.union(b).distinct()
+    }),
+
+    // near-dup pairs -> connected components -> canonical survivors: the
+    // dedup OUTPUT (one label per doc, cluster min as canonical), computed
+    // by distributed large-star/small-star over the SAME pair source the
+    // oracle recomputes (string-shingle Jaccard — the one DuckDB can
+    // verify); the oracle's transitive closure is a recursive CTE.
+    "q_neardup_labels" -> ((s, dir) => {
+      val docs = DocsCorpus.documents(s, dir)
+      Dedup.nearDupLabels(docs,
+        Dedup.jaccardPairs(docs, n = 3, threshold = 0.05))
+    }),
+
+    // production-mode Jaccard parity row: the HASHED-shingle form (8-byte
+    // xxhash64 keys through the heavy shuffles — the mode that actually
+    // ships at 100 TB; string mode OOM-ed the 2M scale point) must emit
+    // EXACTLY the oracle-verified string-mode pair set at contract scale.
+    // matches_string = this pair appears in the string-mode result with
+    // the same rounded jaccard; the driver-visible check is every row true
+    // AND pair_count_delta = 0 on every row (set equality, both ways).
+    "q_jaccard_hashed" -> ((s, dir) => {
+      val docs = DocsCorpus.documents(s, dir)
+      val hashed = Dedup.jaccardPairs(docs, n = 3, threshold = 0.05,
+        hashedShingles = true)
+      val str = Dedup.jaccardPairs(docs, n = 3, threshold = 0.05)
+        .withColumn("matches_string", lit(true))
+      val delta = hashed.count() - str.count()
+      hashed.join(str, Seq("doc_a", "doc_b", "jaccard"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          coalesce(col("matches_string"), lit(false)).as("matches_string"),
+          lit(delta).as("pair_count_delta"))
     })
   )
 
@@ -230,6 +261,32 @@ object DataOpsQueries {
       |)
       |""".stripMargin
 
+  /** Shared 3-gram string-shingle Jaccard CTE chain (sh/sizes/rare/inter)
+    * — ONE definition for the plain-pairs, hashed-parity, and survivor
+    * oracles so the three can't drift.
+    */
+  private val jaccardCtes =
+    """, sh AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+      |  WHERE len(toks) >= 3),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+      |rare AS (SELECT sh.* FROM sh JOIN (
+      |           SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) r USING (shingle)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM rare a JOIN rare b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |""".stripMargin
+
+  private def jaccardPairsSelect(extraCols: String): String =
+    s"""SELECT doc_a, doc_b,
+       |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) + 0.0 AS jaccard$extraCols
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH fp AS (
@@ -238,25 +295,36 @@ object DataOpsQueries {
         |  FROM documents)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canonical_id FROM fp""".stripMargin,
 
-    "q_jaccard_pairs" ->
-      (tokCte +
-        """, sh AS (
-          |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
-          |  FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
-          |  WHERE len(toks) >= 3),
-          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
-          |rare AS (SELECT sh.* FROM sh JOIN (
-          |           SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) r USING (shingle)),
-          |inter AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-          |  FROM rare a JOIN rare b USING (shingle)
-          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-          |SELECT doc_a, doc_b,
-          |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) + 0.0 AS jaccard
-          |FROM inter
-          |JOIN sizes sa ON sa.doc_id = doc_a
-          |JOIN sizes sb ON sb.doc_id = doc_b
-          |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05""".stripMargin),
+    "q_jaccard_pairs" -> (tokCte + jaccardCtes + jaccardPairsSelect("")),
+
+    // hashed production mode must equal the string-mode set EXACTLY at
+    // contract scale: same pairs, every matches_string true, zero count
+    // delta — so the 100 TB mode has its own oracle-exact green row
+    "q_jaccard_hashed" -> (tokCte + jaccardCtes + jaccardPairsSelect(
+      ",\n       true AS matches_string, CAST(0 AS BIGINT) AS pair_count_delta")),
+
+    // transitive closure of the Jaccard pair graph: component = min
+    // reachable doc_id; every doc labels (singletons = self), survivor =
+    // the component minimum. Verifies the distributed large-star/
+    // small-star against a recursive-CTE ground truth.
+    "q_neardup_labels" ->
+      (tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") + jaccardCtes +
+        """, jp AS (
+          |  SELECT doc_a, doc_b
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = doc_a
+          |  JOIN sizes sb ON sb.doc_id = doc_b
+          |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05),
+          |edges AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM jp
+          |  UNION SELECT doc_b, doc_a FROM jp),
+          |reach AS (
+          |  SELECT doc_id AS u, doc_id AS m FROM documents
+          |  UNION
+          |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u)
+          |SELECT u AS doc_id, min(m) AS component_id,
+          |       u = min(m) AS is_survivor
+          |FROM reach GROUP BY u""".stripMargin),
 
     "q_simhash" ->
       (tokCte +

@@ -347,6 +347,116 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- pair graph -> clusters -> canonical survivors -------------------
+
+  /** Connected components over a near-dup PAIR graph — the step that turns
+    * any pair family above into the dedup OUTPUT a training pipeline needs
+    * (clusters + one canonical doc per cluster; the reference's
+    * `list(set(corpus))` at `pipelines/build_hn.py:105-107` is the
+    * degenerate exact form, mirrored by [[exactSurvivors]]).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — each round is two
+    * groupBy-min + join passes over the EDGE SET ONLY (no adjacency lists
+    * collected, no driver-side graph, no vertex state), converging in
+    * O(log^2 n) rounds to star graphs whose center is the component
+    * minimum. Edge volume never grows above the input edge count (stars
+    * only shrink), so at 100 TB the cost is bounded by a handful of
+    * shuffles over the pair table — which the frequency-capped candidate
+    * generation already bounded.
+    *
+    * Input: (doc_a, doc_b) pairs (extra columns ignored). Output:
+    * (doc_id, component_id) for every doc APPEARING IN A PAIR, where
+    * component_id is the smallest doc_id of its component. Docs with no
+    * pairs are absent (singletons — callers union them back; see
+    * [[nearDupLabels]]).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val members = edges.select(col("u").as("doc_id"))
+      .union(edges.select(col("v").as("doc_id"))).distinct()
+      .localCheckpoint() // pinned: the final label join reuses it
+
+    var converged = edges.isEmpty
+    var iter = 0
+    // checksum-based convergence: (count, xor of edge hashes) is stable
+    // iff the canonical edge set is (order-free, overflow-free, one tiny
+    // agg per round)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = if (converged) (0L, 0L) else checksum(edges)
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: for each node u (both directions), connect every
+      // LARGER neighbor to the minimum of u's neighborhood (incl. u)
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = und.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("u"),
+          greatest(col("v"), col("m")).as("v"))
+        .distinct()
+      // SMALL-STAR: for each node u, connect u and all its SMALLER
+      // neighbors to the smallest of them
+      val dirSmall = afterLarge
+        .union(afterLarge.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("v") < col("u"))
+      val smallMins = dirSmall.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = dirSmall.join(smallMins, "u")
+        .select(col("v"), col("m"))
+        .union(smallMins.select(col("u").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+        .localCheckpoint() // truncate lineage every round
+      val cur = checksum(afterSmall)
+      converged = cur == prev
+      prev = cur
+      edges = afterSmall
+      iter += 1
+    }
+    require(converged, s"connectedComponents: not converged after $maxIter " +
+      "rounds — pathological pair graph (raise maxIter)")
+    // star edges are (center=min, member); centers label themselves
+    val labels = edges.select(col("v").as("doc_id"), col("u").as("component_id"))
+    members.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"))
+  }
+
+  /** (doc_id, component_id, is_survivor) for EVERY doc in `docs`:
+    * singletons label themselves, the canonical survivor of each cluster
+    * is its smallest doc_id — composable with ANY pair source
+    * ([[jaccardPairs]], [[minhashLshPairs]], [[simhashPairs]],
+    * [[embeddingCosinePairs]], or a union of them).
+    */
+  def nearDupLabels(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"))
+      .withColumn("is_survivor", col("doc_id") === col("component_id"))
+  }
+
+  /** Canonical survivors only — the deduplicated corpus id set. */
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame =
+    nearDupLabels(docs, pairs, idCol)
+      .filter(col("is_survivor")).select(col("doc_id"))
+
   // ---- embedding cosine ------------------------------------------------
 
   /** Sign-LSH bucket width that tracks corpus size (the [[simhashWide]]

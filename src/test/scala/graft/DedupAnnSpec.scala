@@ -331,4 +331,68 @@ class DedupAnnSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(0L) == "en" && got(1L) == "de" && got(2L) == "und")
   }
+
+  test("connected components: path, star, multi-component, empty") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.dedup.Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 5-4-3-2-1-0 (worst case for naive propagation)
+    assert(cc((1L to 5L).map(i => (i, i - 1))) ==
+      (0L to 5L).map(_ -> 0L).toMap)
+    // star centered high, plus a separate triangle and a pair
+    val got = cc(Seq((10L, 11L), (10L, 12L), (10L, 13L),
+      (2L, 3L), (3L, 4L), (2L, 4L), (7L, 8L)))
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      2L -> 2L, 3L -> 2L, 4L -> 2L, 7L -> 7L, 8L -> 7L))
+    // self-pairs and duplicates are ignored; empty graph yields empty
+    assert(cc(Seq((5L, 5L))) == Map.empty[Long, Long])
+    assert(cc(Seq.empty[(Long, Long)]) == Map.empty[Long, Long])
+  }
+
+  test("connected components match a union-find reference on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 300
+    val pairs = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: driver-side union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = touched.map(d => d -> {
+      // component min = min over members sharing the root
+      val root = find(d.toInt)
+      (0 until n).filter(i => find(i) == root)
+        .filter(i => touched.contains(i.toLong)).min.toLong
+    }).toMap
+    val got = graft.dedup.Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("nearDupLabels/Survivors: singletons self-label; exact-pair source reproduces exactSurvivors") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "  ALPHA beta   gamma delta "), // exact dup of 0 after normalize
+      (2L, "unrelated content entirely"),
+      (3L, "alpha beta gamma delta"),      // dup of 0 and 1
+      (4L, "another loner document here")).toDF("doc_id", "text")
+    val exactPairs = graft.dedup.Dedup.exact(docs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val labels = graft.dedup.Dedup.nearDupLabels(docs, exactPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(labels == Set((0L, 0L, true), (1L, 0L, false), (2L, 2L, true),
+      (3L, 0L, false), (4L, 4L, true)))
+    val survivors = graft.dedup.Dedup.nearDupSurvivors(docs, exactPairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors ==
+      graft.dedup.Dedup.exactSurvivors(docs).collect().map(_.getLong(0)).toSet)
+  }
 }
