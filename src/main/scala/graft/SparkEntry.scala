@@ -251,6 +251,29 @@ object SparkEntry {
         Seq("table", "scan", "query"), slop = 6, k = 10)
     }),
 
+    // Retriever-surface fusion of the engine's two fulltext arms (verdict
+    // r5 #6): the WAND BM25 retriever and the positional phrase retriever
+    // over ONE packed index, fused by unweighted RRF through the same
+    // EnsembleRetriever as q_ensemble_retriever. The BM25 member rides
+    // RoundedRankRetriever so its rank order is SQL-replicable (the
+    // wandContractTopK rounding contract, composably); the phrase member's
+    // integer counts are exact by nature — so the WHOLE ensemble carries an
+    // exact DuckDB oracle.
+    "q_ensemble_phrase" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ensph").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PositionalIndex.build(tok, idxDir)
+      val bm25 = new graft.query.RoundedRankRetriever(
+        new graft.query.Bm25WandRetriever(idxDir), digits = 4, overfetch = 200)
+      val phrase = new graft.query.PositionalRetriever(idxDir,
+        graft.query.PositionalMode.PhraseMode)
+      new graft.query.EnsembleRetriever(Seq(bm25 -> 1.0, phrase -> 1.0))
+        .search(s, Seq(0L -> "table scan"), 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -465,6 +488,43 @@ object SparkEntry {
       "q_proximity_positional_topk" -> proximityOracle(ctes),
       "q_near_topk" -> nearOracle(ctes),
       "q_near_positional_topk" -> nearOracle(ctes),
+
+      // BM25 (query 'table scan', rank on the 4-dp-rounded score) and the
+      // exact-phrase count ranking, each cut to its member top-10, fused by
+      // unweighted RRF (kRrf=60) — the SQL restatement of
+      // EnsembleRetriever(RoundedRankRetriever(Bm25Wand), Positional).
+      "q_ensemble_phrase" -> (ctes +
+        s""", q2(term) AS (VALUES ('table'), ('scan')),
+           |qt2 AS (SELECT term, CAST(count(*) AS BIGINT) AS q_mult FROM q2 GROUP BY 1),
+           |bm AS (
+           |  SELECT tf.doc_id, round(${scoreExpr.replace("qt.", "qt2.")}, 4) + 0.0 AS score_r
+           |  FROM tf JOIN qt2 USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), bmr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+           |  FROM bm
+           |), cand AS (
+           |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan')
+           |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+           |), pc AS (
+           |  SELECT t.doc_id,
+           |         CAST(len(list_filter(range(1, len(terms)),
+           |           i -> terms[i] = 'table' AND terms[i+1] = 'scan')) AS BIGINT) AS phrase_tf
+           |  FROM tok t JOIN cand USING (doc_id)
+           |), phr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS rank
+           |  FROM pc WHERE phrase_tf > 0
+           |), fused AS (
+           |  SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf_score
+           |  FROM (SELECT doc_id, rank FROM bmr WHERE rank <= 10
+           |        UNION ALL SELECT doc_id, rank FROM phr WHERE rank <= 10) u
+           |  GROUP BY 1
+           |), ranked AS (
+           |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+           |         round(rrf_score, 6) + 0.0 AS rrf_r,
+           |         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+           |  FROM fused)
+           |SELECT query_id, doc_id, rrf_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // minimum_should_match: candidates need >= 3 distinct matched query
       // terms; scores/stats unchanged for qualifiers

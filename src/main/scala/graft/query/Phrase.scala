@@ -99,28 +99,35 @@ object Phrase {
                               io: graft.io.TableIO = graft.io.ParquetDirIO,
                               meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
     require(slop >= 1, "proximityTopKPositional: slop must be >= 1")
-    positionalKernelTopK(spark, indexDir, Seq(a, b), k, "prox_tf", io, meta) {
-      (slotPos: Array[Array[Long]]) =>
-        val posA = slotPos(0)
-        val posB = slotPos(1)
-        var cnt = 0L
-        var i = 0
-        while (i < posA.length) {
-          val p = posA(i)
-          // count posB in (p, p + slop]
-          val lo = {
-            val r = java.util.Arrays.binarySearch(posB, p + 1)
-            if (r >= 0) r else -r - 1
-          }
-          val hi = {
-            val r = java.util.Arrays.binarySearch(posB, p + slop + 1)
-            if (r >= 0) r else -r - 1
-          }
-          cnt += hi - lo
-          i += 1
+    positionalKernelTopK(spark, indexDir, Seq(a, b), k, "prox_tf", io, meta)(
+      proximityKernelCount(slop))
+  }
+
+  /** Per-doc ordered-proximity kernel over slot position arrays: count of
+    * (a at p, b at q) pairs with 0 < q - p <= slop. Shared by the
+    * single-query and batched serving paths.
+    */
+  private[query] def proximityKernelCount(slop: Int): Array[Array[Long]] => Long = {
+    (slotPos: Array[Array[Long]]) =>
+      val posA = slotPos(0)
+      val posB = slotPos(1)
+      var cnt = 0L
+      var i = 0
+      while (i < posA.length) {
+        val p = posA(i)
+        // count posB in (p, p + slop]
+        val lo = {
+          val r = java.util.Arrays.binarySearch(posB, p + 1)
+          if (r >= 0) r else -r - 1
         }
-        cnt
-    }
+        val hi = {
+          val r = java.util.Arrays.binarySearch(posB, p + slop + 1)
+          if (r >= 0) r else -r - 1
+        }
+        cnt += hi - lo
+        i += 1
+      }
+      cnt
   }
 
   /** Unordered multi-term proximity (the standard NEAR/n operator): count
@@ -177,28 +184,35 @@ object Phrase {
     require(slop >= 1, "nearTopKPositional: slop must be >= 1")
     require(terms.length >= 2 && terms.distinct == terms,
       "nearTopKPositional: need >= 2 distinct terms")
-    positionalKernelTopK(spark, indexDir, terms, k, "near_tf", io, meta) {
-      (slotPos: Array[Array[Long]]) =>
-        val anchors = slotPos(0)
-        var cnt = 0L
-        var i = 0
-        while (i < anchors.length) {
-          val p = anchors(i)
-          var ok = true
-          var j = 1
-          while (ok && j < slotPos.length) {
-            val arr = slotPos(j)
-            // first occurrence >= p - slop; in-window iff it is <= p + slop
-            val r = java.util.Arrays.binarySearch(arr, p - slop)
-            val lo = if (r >= 0) r else -r - 1
-            ok = lo < arr.length && arr(lo) <= p + slop
-            j += 1
-          }
-          if (ok) cnt += 1
-          i += 1
+    positionalKernelTopK(spark, indexDir, terms, k, "near_tf", io, meta)(
+      nearKernelCount(slop))
+  }
+
+  /** Per-doc unordered-NEAR kernel over slot position arrays: anchors p of
+    * slot 0 where every follower slot has an occurrence in [p-slop, p+slop].
+    * Shared by the single-query and batched serving paths.
+    */
+  private[query] def nearKernelCount(slop: Int): Array[Array[Long]] => Long = {
+    (slotPos: Array[Array[Long]]) =>
+      val anchors = slotPos(0)
+      var cnt = 0L
+      var i = 0
+      while (i < anchors.length) {
+        val p = anchors(i)
+        var ok = true
+        var j = 1
+        while (ok && j < slotPos.length) {
+          val arr = slotPos(j)
+          // first occurrence >= p - slop; in-window iff it is <= p + slop
+          val r = java.util.Arrays.binarySearch(arr, p - slop)
+          val lo = if (r >= 0) r else -r - 1
+          ok = lo < arr.length && arr(lo) <= p + slop
+          j += 1
         }
-        cnt
-    }
+        if (ok) cnt += 1
+        i += 1
+      }
+      cnt
   }
 
   /** Docs whose postings contain EVERY distinct phrase term (conjunctive
@@ -275,46 +289,43 @@ object Phrase {
                      indexDir: String, phrase: Seq[String], k: Int,
                      io: graft.io.TableIO = graft.io.ParquetDirIO,
                      meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame =
-    positionalKernelTopK(spark, indexDir, phrase, k, "phrase_tf", io, meta) {
-      (slotPos: Array[Array[Long]]) =>
-        // adjacency: leader position p matches iff slot j holds p + j
-        val leader = slotPos(0)
-        var cnt = 0L
-        var li = 0
-        while (li < leader.length) {
-          val p = leader(li)
-          var ok = true
-          var j = 1
-          while (ok && j < slotPos.length) {
-            if (java.util.Arrays.binarySearch(slotPos(j), p + j) < 0) ok = false
-            j += 1
-          }
-          if (ok) cnt += 1
-          li += 1
-        }
-        cnt
-    }
+    positionalKernelTopK(spark, indexDir, phrase, k, "phrase_tf", io, meta)(
+      phraseKernelCount)
 
-  /** Shared positional-kernel plumbing for phrase/proximity top-k:
-    * staleness gate, pushed-down term filter, shard-local doc-list
-    * intersection, tombstone check, then `countFn` over the per-SLOT
-    * position arrays (slot i = occurrences of `slotTerms(i)` in the doc;
-    * repeated terms share their array) — docs with count > 0 rank by
-    * (count desc, doc_id asc).
+  /** Per-doc exact-phrase kernel over slot position arrays: leader position
+    * p matches iff slot j holds p + j for every j. Shared by the
+    * single-query and batched serving paths.
     */
-  private def positionalKernelTopK(spark: org.apache.spark.sql.SparkSession,
-                                   indexDir: String, slotTerms: Seq[String],
-                                   k: Int, countCol: String,
-                                   io: graft.io.TableIO = graft.io.ParquetDirIO,
-                                   meta: graft.io.MetaIO = graft.io.LocalMetaIO)(
-      countFn: Array[Array[Long]] => Long): DataFrame = {
-    import spark.implicits._
-    require(slotTerms.nonEmpty, "positionalKernelTopK: no terms")
-    val distinctTerms = slotTerms.distinct
-    // staleness gate: a queried term whose positional posting count no
-    // longer matches the scoring df table means the arm missed an append —
-    // fail loudly. df lookups ride the same version-invalidated cache the
-    // WAND serving path uses (no per-query df scan for bounded vocabularies)
+  private[query] val phraseKernelCount: Array[Array[Long]] => Long = {
+    (slotPos: Array[Array[Long]]) =>
+      val leader = slotPos(0)
+      var cnt = 0L
+      var li = 0
+      while (li < leader.length) {
+        val p = leader(li)
+        var ok = true
+        var j = 1
+        while (ok && j < slotPos.length) {
+          if (java.util.Arrays.binarySearch(slotPos(j), p + j) < 0) ok = false
+          j += 1
+        }
+        if (ok) cnt += 1
+        li += 1
+      }
+      cnt
+  }
+
+  /** Positional rows for `distinctTerms` behind the staleness gate: a
+    * queried term whose positional posting count no longer matches the
+    * scoring df table means the arm missed an append — fail loudly. df
+    * lookups ride the same version-invalidated cache the WAND serving path
+    * uses (no per-query df scan for bounded vocabularies). Returns the
+    * term-filtered positional rows plus df per queried term.
+    */
+  private def loadGated(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, distinctTerms: Seq[String],
+                        io: graft.io.TableIO, meta: graft.io.MetaIO):
+      (org.apache.spark.sql.Dataset[graft.index.PosPostings], Map[String, Long]) = {
     val dfCounts: Map[String, Long] =
       IndexCache.dfMap(spark, indexDir, io, meta) match {
         case Some(full) =>
@@ -338,6 +349,127 @@ object Phrase {
           s"($got positional postings vs df=$want) — run " +
           "PositionalIndex.append for the missed batch (or build to reset)")
     }
+    (posRows, dfCounts)
+  }
+
+  /** Batched positional serving — the Retriever-shaped entry point: many
+    * [[PositionalQuery]] specs answered in ONE pass over the positional
+    * arm. Returns (query_id, doc_id, score, rank), score = the query's
+    * match count (an exact integer in a double — rank order is therefore
+    * SQL-replicable, which is what lets WAND+positional ensembles carry an
+    * exact DuckDB oracle, q_ensemble_phrase).
+    *
+    * Scale shape (flat in batch size, like the WAND batch kernel): the
+    * UNION of the batch's terms is pulled with one pushed-down IN filter
+    * and one shard repartition; per shard every term is decoded ONCE and
+    * shared by all queries touching it; per (shard, query) a k-bounded
+    * heap emits at most k rows, so the final per-query rank window sees
+    * <= shards x k rows — matched-doc counts never materialize globally.
+    */
+  def search(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+             queries: Seq[(Long, PositionalQuery)], k: Int,
+             io: graft.io.TableIO = graft.io.ParquetDirIO,
+             meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
+    import spark.implicits._
+    require(k > 0, "Phrase.search: k must be > 0")
+    def empty = spark.emptyDataset[(Long, Long, Double)]
+      .toDF("query_id", "doc_id", "score")
+      .withColumn("rank", lit(1)).limit(0)
+    if (queries.isEmpty) return empty
+    val allTerms = queries.flatMap(_._2.slotTerms).distinct
+    val (posRows, dfCounts) = loadGated(spark, indexDir, allTerms, io, meta)
+    // conjunctive semantics: a query naming an unindexed term matches nothing
+    val live = queries.filter(
+      _._2.slotTerms.forall(t => dfCounts.getOrElse(t, 0L) > 0L)).toArray
+    if (live.isEmpty) return empty
+    val tomb = graft.index.PackedIndex.loadTombstones(indexDir, meta)
+    val bcTomb = spark.sparkContext.broadcast(tomb)
+    val bcQueries = spark.sparkContext.broadcast(live)
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    val hits = posRows
+      .repartition(parts, col("shard"))
+      .sortWithinPartitions(col("shard"), col("term"))
+      .mapPartitions { it =>
+        val qs = bcQueries.value
+        val tombArr = bcTomb.value
+        val buf = it.buffered
+        new Iterator[Iterator[(Long, Long, Long)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Long, Long)] = {
+            val shard = buf.head.shard
+            val rows = scala.collection.mutable.ArrayBuffer.empty[graft.index.PosPostings]
+            while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
+            val decoded = decodeShard(rows.toSeq)
+            qs.iterator.flatMap { case (qid, pq) =>
+              shardTopK(intersectCounts(decoded, pq.slotTerms.toArray,
+                tombArr, pq.kernel), k)
+                .map { case (doc, cnt) => (qid, doc, cnt) }
+            }
+          }
+        }.flatten
+      }
+      .toDF("query_id", "doc_id", "cnt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cnt").desc, col("doc_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("cnt").cast("double").as("score"), col("rank"))
+  }
+
+  /** Dataset-typed positional query batch: (query_id, text) rows parsed by
+    * `mode`, served in deterministic staged chunks through the same
+    * chunked-batch machinery as [[Wand.searchDs]] (one staging pass, loud
+    * accounting, per-chunk sinks). Parity with [[search]] on the same batch
+    * is pinned in RetrieverSpec.
+    */
+  def searchDs(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               queries: DataFrame, mode: PositionalMode, k: Int,
+               chunkSize: Int = 10000,
+               io: graft.io.TableIO = graft.io.ParquetDirIO,
+               stagingDir: Option[String] = None,
+               meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame =
+    ChunkedServe.serve(spark, queries, chunkSize, io, stagingDir, meta,
+      "Phrase.searchDs") { chunk =>
+      search(spark, indexDir,
+        chunk.map { case (id, text) => id -> mode.parse(text) }, k, io, meta)
+    }
+
+  /** Bounded top-k selection by (count desc, doc_id asc) from one shard's
+    * per-query match iterator — the per-(shard, query) heap that keeps the
+    * batch path's global rank input at <= shards x k rows per query.
+    */
+  private def shardTopK(it: Iterator[(Long, Long)], k: Int): Iterator[(Long, Long)] = {
+    // worst-first ordering: head = smallest count, then largest doc_id
+    val ord = Ordering.by[(Long, Long), (Long, Long)] {
+      case (doc, cnt) => (-cnt, doc)
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+    it.foreach { e =>
+      if (heap.size < k) heap.enqueue(e)
+      else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+    }
+    heap.iterator
+  }
+
+  /** Shared positional-kernel plumbing for phrase/proximity top-k:
+    * staleness gate, pushed-down term filter, shard-local doc-list
+    * intersection, tombstone check, then `countFn` over the per-SLOT
+    * position arrays (slot i = occurrences of `slotTerms(i)` in the doc;
+    * repeated terms share their array) — docs with count > 0 rank by
+    * (count desc, doc_id asc).
+    */
+  private def positionalKernelTopK(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String, slotTerms: Seq[String],
+                                   k: Int, countCol: String,
+                                   io: graft.io.TableIO = graft.io.ParquetDirIO,
+                                   meta: graft.io.MetaIO = graft.io.LocalMetaIO)(
+      countFn: Array[Array[Long]] => Long): DataFrame = {
+    import spark.implicits._
+    require(slotTerms.nonEmpty, "positionalKernelTopK: no terms")
+    val distinctTerms = slotTerms.distinct
+    val (posRows, dfCounts) = loadGated(spark, indexDir, distinctTerms, io, meta)
     if (distinctTerms.exists(t => dfCounts.getOrElse(t, 0L) == 0L))
       return spark.emptyDataset[(Long, Long)].toDF("doc_id", countCol)
         .withColumn("rank", lit(1)).limit(0)
@@ -378,7 +510,17 @@ object Phrase {
   private[query] def shardSlotCounts(rows: Seq[graft.index.PosPostings],
                                      phrase: Array[String],
                                      tomb: Array[Long],
-                                     countFn: Array[Array[Long]] => Long): Iterator[(Long, Long)] = {
+                                     countFn: Array[Array[Long]] => Long): Iterator[(Long, Long)] =
+    intersectCounts(decodeShard(rows), phrase, tomb, countFn)
+
+  /** Decode one shard's positional rows ONCE per term: sorted doc ids +
+    * per-doc position arrays. A (shard, term) may span multiple rows
+    * (appends land in new groups) — block lists are concatenated in base
+    * order like the WAND kernel does. In the batch path this decode is
+    * shared by every query touching the term.
+    */
+  private[query] def decodeShard(rows: Seq[graft.index.PosPostings]):
+      collection.Map[String, (Array[Long], Array[Array[Long]])] = {
     val byTerm = scala.collection.mutable.HashMap.empty[String, Array[graft.index.PackedPosBlock]]
     rows.foreach { r =>
       byTerm.get(r.term) match {
@@ -387,21 +529,29 @@ object Phrase {
           byTerm.update(r.term, (existing ++ r.blocks).sortBy(_.base))
       }
     }
+    byTerm.map { case (t, blocks) =>
+      val docs = Array.newBuilder[Long]
+      val poss = Array.newBuilder[Array[Long]]
+      blocks.foreach { b =>
+        val cb = b.toCodec
+        docs ++= cb.decodeDocIds
+        poss ++= cb.decodePositions
+      }
+      t -> (docs.result(), poss.result())
+    }
+  }
+
+  /** Intersect the DISTINCT slot terms' sorted doc lists with a k-way merge
+    * and apply `countFn` to each surviving doc's per-slot position arrays,
+    * emitting (doc_id, count) for counts > 0.
+    */
+  private[query] def intersectCounts(decodedAll: collection.Map[String, (Array[Long], Array[Array[Long]])],
+                                     phrase: Array[String],
+                                     tomb: Array[Long],
+                                     countFn: Array[Array[Long]] => Long): Iterator[(Long, Long)] = {
     val distinctTerms = phrase.distinct
-    if (!distinctTerms.forall(byTerm.contains)) return Iterator.empty
-    // decode each distinct term once: sorted doc ids + per-doc positions
-    val decoded: Map[String, (Array[Long], Array[Array[Long]])] =
-      distinctTerms.map { t =>
-        val blocks = byTerm(t)
-        val docs = Array.newBuilder[Long]
-        val poss = Array.newBuilder[Array[Long]]
-        blocks.foreach { b =>
-          val cb = b.toCodec
-          docs ++= cb.decodeDocIds
-          poss ++= cb.decodePositions
-        }
-        t -> (docs.result(), poss.result())
-      }.toMap
+    if (!distinctTerms.forall(decodedAll.contains)) return Iterator.empty
+    val decoded = distinctTerms.map(t => t -> decodedAll(t)).toMap
     // k-way sorted intersection over the distinct terms' doc lists
     val lists = distinctTerms.map(decoded)
     val cursors = new Array[Int](lists.length)

@@ -45,6 +45,49 @@ final class CosineRetriever(corpus: DataFrame,
   }
 }
 
+/** Positional retriever over a packed index's positional arm —
+  * phrase / ordered-proximity / unordered-NEAR semantics selected by
+  * `mode`, served through the batched kernel ([[Phrase.search]]). Query
+  * text is tokenized with the engine's exact tokenizer and mapped to the
+  * mode's [[PositionalQuery]]. score = the match count (an exact integer),
+  * so the rank order is SQL-replicable and positional members keep
+  * ensembles oracle-checkable.
+  */
+final class PositionalRetriever(indexDir: String,
+                                mode: PositionalMode = PositionalMode.PhraseMode)
+    extends Retriever {
+  override def search(spark: SparkSession, queries: Seq[(Long, String)],
+                      k: Int): DataFrame =
+    Phrase.search(spark, indexDir,
+      queries.map { case (id, text) => id -> mode.parse(text) }, k)
+}
+
+/** Rank-stability adapter: re-ranks an inner retriever's hits on the score
+  * ROUNDED to `digits` decimal places (ties broken doc_id asc), fetching
+  * `overfetch` raw hits per query so near-ties at the k boundary are
+  * resolved on the rounded value — the same rounding/tie-break contract the
+  * oracle-checked BM25 contract queries pin, exposed as a composable
+  * Retriever so ensembles over raw-double scorers are SQL-replicable.
+  * (As with those queries, a doc outside the raw top-`overfetch` that
+  * rounds into the top-k is not recovered — size `overfetch` >> k.)
+  */
+final class RoundedRankRetriever(inner: Retriever, digits: Int,
+                                 overfetch: Int = 200) extends Retriever {
+  override def search(spark: SparkSession, queries: Seq[(Long, String)],
+                      k: Int): DataFrame = {
+    require(overfetch >= k,
+      s"RoundedRankRetriever: overfetch=$overfetch < k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    inner.search(spark, queries, overfetch)
+      .withColumn("score", round(col("score"), digits))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+}
+
 /** RRF ensemble of retrievers — `EnsembleRetriever`
   * (`models/retrieval_auto.py:448-476`): per-retriever rank lists fused by
   * weighted reciprocal rank.

@@ -339,4 +339,64 @@ class PhraseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(hits == Map(0L -> 2L)) // "go go" twice in doc 0, zero in doc 1
   }
+
+  test("batched positional serving == single-query operators (mixed batch)") {
+    import graft.query.PositionalQuery._
+    val rnd = new scala.util.Random(41)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0 until 150).map { i =>
+      i.toLong -> Seq.fill(1 + rnd.nextInt(25))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val t = tok(docs: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-posbatch").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 5, groups = 2)
+    graft.index.PositionalIndex.build(t, dir)
+    val batch: Seq[(Long, graft.query.PositionalQuery)] = Seq(
+      1L -> PhraseMatch(Seq("a", "b")),
+      2L -> PhraseMatch(Seq("a", "b", "a")),
+      3L -> ProximityMatch("c", "d", 3),
+      4L -> NearMatch(Seq("a", "b", "c"), 4),
+      5L -> PhraseMatch(Seq("a", "zzz_absent")), // unindexed term -> no rows
+      6L -> ProximityMatch("a", "a", 2))         // duplicate-term prox
+    val k = 7
+    val got = graft.query.Phrase.search(spark, dir, batch, k)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2).toLong, r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.getOrElse(1L, Set.empty) ==
+      rows(Phrase.topKPositional(spark, dir, Seq("a", "b"), k)))
+    assert(got.getOrElse(2L, Set.empty) ==
+      rows(Phrase.topKPositional(spark, dir, Seq("a", "b", "a"), k)))
+    assert(got.getOrElse(3L, Set.empty) ==
+      rows(Phrase.proximityTopKPositional(spark, dir, "c", "d", 3, k)))
+    assert(got.getOrElse(4L, Set.empty) ==
+      rows(Phrase.nearTopKPositional(spark, dir, Seq("a", "b", "c"), 4, k)))
+    assert(!got.contains(5L))
+    assert(got.getOrElse(6L, Set.empty) ==
+      rows(Phrase.proximityTopKPositional(spark, dir, "a", "a", 2, k)))
+    assert(got(1L).nonEmpty && got(3L).nonEmpty && got(4L).nonEmpty)
+    // every query's result is k-bounded with contiguous ranks from 1
+    got.foreach { case (qid, rs) =>
+      assert(rs.size <= k && rs.map(_._3) == (1 to rs.size).toSet,
+        s"query $qid ranks not contiguous: $rs")
+    }
+  }
+
+  test("batched positional serving honors tombstones") {
+    val t = tok(
+      0L -> "x table deep scan y",
+      1L -> "x table scan y",
+      2L -> "scan table scan table scan")
+    val dir = java.nio.file.Files.createTempDirectory("graft-batchtomb").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 2, groups = 1)
+    graft.index.PositionalIndex.build(t, dir)
+    graft.index.PackedIndex.delete(dir, Seq(2L))
+    val got = graft.query.Phrase.search(spark, dir,
+      Seq(9L -> graft.query.PositionalQuery.PhraseMatch(Seq("table", "scan"))), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(got == Seq((9L, 1L, 1)))
+  }
 }

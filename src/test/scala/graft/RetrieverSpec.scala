@@ -217,4 +217,66 @@ class RetrieverSpec extends SparkSpec {
     val r1 = fused.head
     assert(math.abs(r1.getAs[Double]("rrf_score") - 1.5 / 61) < 1e-12)
   }
+
+  test("positional Dataset batch (Phrase.searchDs) equals the Seq path") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0 until 150).map { i =>
+      i.toLong -> Seq.fill(1 + rnd.nextInt(25))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val t = graft.index.InvertedIndex.tokenize(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-posds").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 5, groups = 2)
+    graft.index.PositionalIndex.build(t, dir)
+    val mode = graft.query.PositionalMode.PhraseMode
+    val texts = (0 until 30).map { qi =>
+      qi.toLong -> (0 until 2).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val seqHits = graft.query.Phrase.search(spark, dir,
+      texts.map { case (id, s) => id -> mode.parse(s) }, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dsHits = graft.query.Phrase.searchDs(spark, dir,
+      texts.toDF("query_id", "text"), mode, 5, chunkSize = 7) // multi-chunk
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(dsHits == seqHits)
+    assert(seqHits.nonEmpty)
+  }
+
+  test("WAND + positional phrase ensemble through the Retriever surface") {
+    val t = graft.index.InvertedIndex.tokenize(
+      Seq(
+        0L -> "x table deep scan y table",
+        1L -> "x table scan y",
+        2L -> "scan table scan table scan",
+        3L -> "table w1 w2 w3").toDF("doc_id", "text"), "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-ensphr").toString
+    graft.index.PackedIndex.build(t, dir, shardBits = 2, groups = 1)
+    graft.index.PositionalIndex.build(t, dir)
+    val bm25 = new graft.query.RoundedRankRetriever(new Bm25WandRetriever(dir), 4)
+    val phrase = new graft.query.PositionalRetriever(dir,
+      graft.query.PositionalMode.PhraseMode)
+    val fused = new EnsembleRetriever(Seq(bm25 -> 1.0, phrase -> 1.0))
+      .search(spark, Seq(0L -> "table scan"), 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf_score"),
+        r.getAs[Int]("rank")))
+    // hand-derived member ranks: phrase counts 2:'x2',1:'x1',0:'x0 (not
+    // adjacent)' -> phrase list (2,1); BM25 matches docs 0,1,2,3 on terms.
+    val phraseOnly = phrase.search(spark, Seq(0L -> "table scan"), 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    assert(phraseOnly == Map(2L -> 1, 1L -> 2))
+    val bmRanks = bm25.search(spark, Seq(0L -> "table scan"), 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    val expected = (bmRanks.keySet ++ phraseOnly.keySet).map { d =>
+      d -> (bmRanks.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        phraseOnly.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.toMap
+    fused.foreach { case (d, s, _) =>
+      assert(math.abs(s - expected(d)) < 1e-12, s"doc $d rrf mismatch")
+    }
+    val order = fused.sortBy(_._3).map(_._1).toSeq
+    val wantOrder = expected.toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1)
+    assert(order == wantOrder.take(order.length))
+  }
 }
