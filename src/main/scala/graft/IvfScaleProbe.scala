@@ -10,7 +10,8 @@ import graft.ann.{Ann, IvfIndex}
   * IvfIndex, then measures serving cost and recall vs brute force for a
   * query batch at several nProbe points.
   *
-  * Usage: runMain graft.IvfScaleProbe <pagesPath> [cores] [nCells] [iters]
+  * Usage: runMain graft.IvfScaleProbe <pagesPath> [cores] [nCells] [iters] [storage]
+  * (nCells = 0 derives IvfIndex.autoCells(N); storage = f64|f32)
   */
 object IvfScaleProbe {
 
@@ -25,6 +26,7 @@ object IvfScaleProbe {
     val cores = if (args.length > 1) args(1) else "32"
     val nCells = if (args.length > 2) args(2).toInt else 256
     val iters = if (args.length > 3) args(3).toInt else 2
+    val storage = if (args.length > 4) args(4) else "f64"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toInt)
@@ -57,9 +59,17 @@ object IvfScaleProbe {
     // train + persist (timed: the build-once cost)
     val idxDir = s"$tmp/ivf"
     val (buildSec, _) = timed {
-      IvfIndex.build(emb, idxDir, nCells = nCells, iters = iters)
+      IvfIndex.build(emb, idxDir, nCells = nCells, iters = iters,
+        storage = storage)
     }
-    println(s"""{"probe":"ivf_scale_build","sec":${f"$buildSec%.1f"},"vecs_per_sec":${f"${nVecs / buildSec}%.0f"},"n_vecs":$nVecs,"n_cells":$nCells,"iters":$iters}""")
+    val builtCells = IvfIndex.loadCentroids(idxDir).size
+    val segBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(s"$idxDir/cells"))
+    }
+    println(s"""{"probe":"ivf_scale_build","sec":${f"$buildSec%.1f"},"vecs_per_sec":${f"${nVecs / buildSec}%.0f"},"n_vecs":$nVecs,"n_cells":$builtCells,"iters":$iters,"storage":"$storage","segment_bytes":$segBytes}""")
 
     // query batch: every 20000th vector (deterministic, spans the corpus)
     val queries = emb.filter(pmod(col("vec_id"), lit(20000L)) === 7L)
