@@ -10,8 +10,12 @@ import graft.ann.{Ann, IvfIndex}
   * IvfIndex, then measures serving cost and recall vs brute force for a
   * query batch at several nProbe points.
   *
-  * Usage: runMain graft.IvfScaleProbe <pagesPath> [cores] [nCells] [iters] [storage]
-  * (nCells = 0 derives IvfIndex.autoCells(N); storage = f64|f32)
+  * Usage: runMain graft.IvfScaleProbe <pagesPath> [cores] [nCells] [iters] [storage] [norm]
+  * (nCells = 0 derives IvfIndex.autoCells(N); storage = f64|f32; norm=l2
+  * L2-normalizes the synthetic embeddings so vector components carry
+  * real-valued mantissas like model embeddings do — the raw token-sum
+  * vectors are integer-valued, which parquet encodes as compactly in f64
+  * as in f32, hiding the storage mode's scan-byte effect)
   */
 object IvfScaleProbe {
 
@@ -27,6 +31,7 @@ object IvfScaleProbe {
     val nCells = if (args.length > 2) args(2).toInt else 256
     val iters = if (args.length > 3) args(3).toInt else 2
     val storage = if (args.length > 4) args(4) else "f64"
+    val norm = args.length > 5 && args(5) == "l2"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toInt)
@@ -46,12 +51,18 @@ object IvfScaleProbe {
     val sums = (0 until dims).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1.0)
         .otherwise(-1.0)).as(s"d$i"))
+    val rawVec = array((0 until dims).map(i => col(s"d$i")): _*)
+    val vecExpr =
+      if (!norm) rawVec
+      else {
+        val l2 = sqrt(aggregate(rawVec, lit(0.0), (a, x) => a + x * x))
+        transform(rawVec, x => x / greatest(l2, lit(1e-12)))
+      }
     docs.select(col("doc_id"), explode(toks).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id").as("vec_id"),
-        array((0 until dims).map(i => col(s"d$i")): _*).as("vec"))
+      .select(col("doc_id").as("vec_id"), vecExpr.as("vec"))
       .write.mode("overwrite").parquet(s"$tmp/emb")
     val emb = spark.read.parquet(s"$tmp/emb")
     val nVecs = emb.count()
@@ -69,7 +80,7 @@ object IvfScaleProbe {
         else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
       walk(new java.io.File(s"$idxDir/cells"))
     }
-    println(s"""{"probe":"ivf_scale_build","sec":${f"$buildSec%.1f"},"vecs_per_sec":${f"${nVecs / buildSec}%.0f"},"n_vecs":$nVecs,"n_cells":$builtCells,"iters":$iters,"storage":"$storage","segment_bytes":$segBytes}""")
+    println(s"""{"probe":"ivf_scale_build","sec":${f"$buildSec%.1f"},"vecs_per_sec":${f"${nVecs / buildSec}%.0f"},"n_vecs":$nVecs,"n_cells":$builtCells,"iters":$iters,"storage":"$storage","norm":$norm,"segment_bytes":$segBytes}""")
 
     // query batch: every 20000th vector (deterministic, spans the corpus)
     val queries = emb.filter(pmod(col("vec_id"), lit(20000L)) === 7L)

@@ -251,6 +251,27 @@ object SparkEntry {
         Seq("table", "scan", "query"), slop = 6, k = 10)
     }),
 
+    // Batched positional serving, driver-exercised: one Phrase.search call
+    // answers a phrase, an ordered-proximity, and an unordered-NEAR query
+    // in a single pass over the positional arm (union-of-terms load,
+    // shared per-shard decode, per-(shard,query) bounded heaps). Each
+    // member query reuses its single-query sibling's oracle chain
+    // verbatim, tagged by query_id — so the BATCH path itself is
+    // oracle-exact, not just spec-paritied against the single path.
+    "q_positional_batch" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-posbatchq").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PositionalIndex.build(tok, idxDir)
+      import graft.query.PositionalQuery._
+      graft.query.Phrase.search(s, idxDir, Seq(
+        1L -> PhraseMatch(Seq("table", "scan")),
+        2L -> ProximityMatch("table", "scan", slop = 3),
+        3L -> NearMatch(Seq("table", "scan", "query"), slop = 6)), k = 10)
+        .select(col("query_id"), col("doc_id"),
+          col("score").cast("long").as("cnt"), col("rank"))
+    }),
+
     // Retriever-surface fusion of the engine's two fulltext arms (verdict
     // r5 #6): the WAND BM25 retriever and the positional phrase retriever
     // over ONE packed index, fused by unweighted RRF through the same
@@ -488,6 +509,55 @@ object SparkEntry {
       "q_proximity_positional_topk" -> proximityOracle(ctes),
       "q_near_topk" -> nearOracle(ctes),
       "q_near_positional_topk" -> nearOracle(ctes),
+
+      // the three member queries' single-query oracle chains, tagged by
+      // query_id and unioned — identical count/rank semantics per member
+      "q_positional_batch" -> (ctes +
+        s""", candp AS (
+           |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan')
+           |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+           |), pc1 AS (
+           |  SELECT t.doc_id,
+           |         CAST(len(list_filter(range(1, len(terms)),
+           |           i -> terms[i] = 'table' AND terms[i+1] = 'scan')) AS BIGINT) AS cnt
+           |  FROM tok t JOIN candp USING (doc_id)
+           |), r1 AS (
+           |  SELECT CAST(1 AS BIGINT) AS query_id, doc_id, cnt,
+           |         CAST(row_number() OVER (ORDER BY cnt DESC, doc_id ASC) AS INT) AS rank
+           |  FROM pc1 WHERE cnt > 0
+           |), pc2 AS (
+           |  SELECT t.doc_id,
+           |         CAST(coalesce(list_sum(list_transform(
+           |           list_filter(range(1, len(terms)+1), i -> terms[i] = 'table'),
+           |           p -> len(list_filter(
+           |             list_filter(range(1, len(terms)+1), j -> terms[j] = 'scan'),
+           |             q -> q > p AND q <= p + 3)))), 0) AS BIGINT) AS cnt
+           |  FROM tok t JOIN candp USING (doc_id)
+           |), r2 AS (
+           |  SELECT CAST(2 AS BIGINT) AS query_id, doc_id, cnt,
+           |         CAST(row_number() OVER (ORDER BY cnt DESC, doc_id ASC) AS INT) AS rank
+           |  FROM pc2 WHERE cnt > 0
+           |), candn AS (
+           |  SELECT doc_id FROM tf WHERE term IN ('table', 'scan', 'query')
+           |  GROUP BY doc_id HAVING count(DISTINCT term) = 3
+           |), pc3 AS (
+           |  SELECT t.doc_id,
+           |         CAST(coalesce(list_sum(list_transform(
+           |           list_filter(range(1, len(terms)+1), i -> terms[i] = 'table'),
+           |           p -> CASE WHEN
+           |             len(list_filter(range(1, len(terms)+1),
+           |               j -> terms[j] = 'scan' AND j >= p - 6 AND j <= p + 6)) > 0
+           |             AND len(list_filter(range(1, len(terms)+1),
+           |               j -> terms[j] = 'query' AND j >= p - 6 AND j <= p + 6)) > 0
+           |           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS cnt
+           |  FROM tok t JOIN candn USING (doc_id)
+           |), r3 AS (
+           |  SELECT CAST(3 AS BIGINT) AS query_id, doc_id, cnt,
+           |         CAST(row_number() OVER (ORDER BY cnt DESC, doc_id ASC) AS INT) AS rank
+           |  FROM pc3 WHERE cnt > 0
+           |), u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |         UNION ALL SELECT * FROM r3)
+           |SELECT query_id, doc_id, cnt, rank FROM u WHERE rank <= 10""".stripMargin),
 
       // BM25 (query 'table scan', rank on the 4-dp-rounded score) and the
       // exact-phrase count ranking, each cut to its member top-10, fused by
