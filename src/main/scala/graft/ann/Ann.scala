@@ -275,9 +275,15 @@ object Ann {
   /** Above this many centroids the assignment switches from column-literal
     * folding to a broadcast-variable kernel: typedLit embeds nCells*dim
     * doubles into the expression tree, whose codegen/serialized size grows
-    * linearly and hits Catalyst limits in the thousands of cells.
+    * linearly and hits Catalyst limits in the thousands of cells — and the
+    * Catalyst lambda fold evaluates far slower than the primitive-array
+    * kernel well before that (the 2M-vector probe measured a 256-cell
+    * build ~11x slower on the literal path than a 1415-cell build on the
+    * kernel). The paths are bit-identical (DedupAnnSpec), so the literal
+    * form is kept only for the smallest counts where its zero-setup
+    * whole-stage codegen wins.
     */
-  private[graft] val AssignLiteralMaxCells = 256
+  private[graft] val AssignLiteralMaxCells = 16
 
   /** Assign corpus vectors to nearest centroid (cell). Both paths are one
     * narrow map-side pass over the corpus — no join, no shuffle, no window —
