@@ -91,7 +91,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
     graft.contract.PipelineQueries.queries ++
     graft.contract.DataOpsQueries.queries ++
-    graft.contract.MiscQueries.queries
+    graft.contract.MiscQueries.queries ++
+    graft.contract.FileQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1/F2 tokenize + doc length (SURVEY §2.8)
@@ -351,7 +352,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracleSql ++
     graft.contract.PipelineQueries.oracleSql ++
     graft.contract.DataOpsQueries.oracleSql ++
-    graft.contract.MiscQueries.oracleSql
+    graft.contract.MiscQueries.oracleSql ++
+    graft.contract.FileQueries.oracleSql
 
   private def phraseOracle(ctes: String): String =
     ctes +
