@@ -18,7 +18,7 @@ object DocGen {
 
   private val FixedTime = 1577836800000L // 2020-01-01T00:00:00Z
 
-  private[extract] def xmlEscape(s: String): String = {
+  def xmlEscape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 16)
     s.foreach {
       case '&' => sb.append("&amp;")
