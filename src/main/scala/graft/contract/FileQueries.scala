@@ -98,6 +98,20 @@ object FileQueries {
         .select(col("doc_id"), col("r._1").as("extracted"), col("r._2").as("err"))
     }),
 
+    // markdown arm: process_markdown composition (header-split, header
+    // prefix, lowercase, min-length; file_parser.py:122-149) over a
+    // two-section document — both bodies under the 1024 re-split bound,
+    // so the whole chain is a pure string composition
+    "q_markdown_chunks" -> ((s, dir) => {
+      val mdDocs = guarded(DocsCorpusRef.documents(s, dir))
+        .filter(!col("text").contains("\n") && !col("text").startsWith("#"))
+        .withColumn("md", concat(
+          lit("# T"), col("doc_id"), lit("\nintro for "), col("source"),
+          lit("\n## sec "), col("lang"), lit("\n"), col("text")))
+      graft.text.MarkdownChunks.chunks(mdDocs, "md")
+        .select(col("doc_id"), col("chunk_pos"), col("chunk_text"))
+    }),
+
     // excel/csv arm: one csv of the first 25 docs, a NaN-bearing column
     // dropped by dropna(axis=1), pandas to_json output
     // (file_parser.py:109-119)
@@ -173,6 +187,20 @@ object FileQueries {
          |       CAST(NULL AS VARCHAR) AS err
          |FROM documents
          |$GuardSql""".stripMargin,
+
+    "q_markdown_chunks" ->
+      s"""WITH g AS (
+         |  SELECT * FROM documents
+         |  $GuardSql
+         |    AND text NOT LIKE '%' || chr(10) || '%' AND text NOT LIKE '#%'
+         |)
+         |SELECT doc_id, CAST(0 AS INT) AS chunk_pos,
+         |       'T' || doc_id || ' intro for ' || source AS chunk_text
+         |FROM g
+         |UNION ALL
+         |SELECT doc_id, CAST(1 AS INT) AS chunk_pos,
+         |       'T' || doc_id || ' sec ' || lang || ' ' || lower(text) AS chunk_text
+         |FROM g""".stripMargin,
 
     "q_csv_json" ->
       s"""$Head25Cte

@@ -175,6 +175,56 @@ class FileParserSpec extends AnyFunSuite {
     assert(FileParser.contentKey("abc".getBytes) == "ba7816bf")
   }
 
+  // ---- markdown chunking (process_markdown composition) -----------------
+
+  test("markdown: header state machine, prefix composition, lowercase, filter") {
+    import graft.text.MarkdownChunks
+    val md =
+      """# Top
+        |Intro paragraph here.
+        |## Sub One
+        |Body of SUB one.
+        |tiny
+        |### Deep
+        |Deep CONTENT line.
+        |## Sub Two
+        |short
+        |# Reset
+        |After reset BODY.""".stripMargin
+    val chunks = MarkdownChunks.chunkText(md)
+    assert(chunks == Vector(
+      "Top intro paragraph here.",
+      // 'tiny' rides the same block as the Sub One body ('\n'-joined)
+      "Top Sub One body of sub one.\ntiny",
+      "Top Sub One Deep deep content line.",
+      // '## Sub Two' clears H3; its block is 'short' (5 chars) -> dropped
+      "Reset after reset body."))
+  }
+
+  test("markdown: deeper header without shallower keeps the leading space") {
+    import graft.text.MarkdownChunks
+    // the reference appends ' '+H2 unconditionally (file_parser.py:134-136)
+    val chunks = MarkdownChunks.chunkText("## Only Sub\ncontent goes here")
+    assert(chunks == Vector(" Only Sub content goes here"))
+  }
+
+  test("markdown: >=1024-char bodies re-split by greedy word packing") {
+    import graft.text.MarkdownChunks
+    val body = (1 to 200).map(i => s"word$i").mkString(" ") // ~1490 chars
+    val chunks = MarkdownChunks.chunkText(s"# H\n$body")
+    assert(chunks.length == 2)
+    assert(chunks.forall(_.startsWith("H ")))
+    assert(chunks.forall(_.length <= 1024 + 2))
+    // packing preserves every word exactly once, lowercased
+    val words = chunks.flatMap(_.drop(2).split(" "))
+    assert(words == (1 to 200).map(i => s"word$i"))
+    // pieces under 10 chars are dropped even on the re-split arm
+    val tail = MarkdownChunks.packWords("x" * 1020 + " tiny", 1024)
+    assert(tail == Vector("x" * 1020, "tiny"))
+    assert(MarkdownChunks.chunkText("# H\n" + "x" * 1020 + " tiny")
+      == Vector("H " + "x" * 1020))
+  }
+
   test("html arm matches the existing soup-text kernel") {
     val html = "<html><body><p>para</p><div>block</div></body></html>"
     val (text, err) = FileParser.read("page.html", html.getBytes)
