@@ -56,7 +56,7 @@ object SparkEntry {
   }
 
   /** The one-query batch every packed-index contract query runs. */
-  private def contractQueryBatch: Seq[(Long, String)] =
+  private[graft] def contractQueryBatch: Seq[(Long, String)] =
     Seq(0L -> DocsCorpus.fixedQuery.mkString(" "))
 
   /** doc_ids of documents in the given language (small, collected). */
@@ -74,10 +74,19 @@ object SparkEntry {
     * the same rounding/tie-break contract as their oracles.
     */
   private def wandContractTopK(s: SparkSession, dir: String)(
+      run: String => DataFrame): DataFrame =
+    wandContractTopKFrom(s, DocsCorpus.tokenized(s, dir))(run)
+
+  /** Same contract over an arbitrary tokenized (doc_id, terms) source —
+    * the multi-format ingest query feeds its extracted corpus through
+    * here so every packed-index query shares ONE rounding/tie-break
+    * implementation.
+    */
+  private[graft] def wandContractTopKFrom(s: SparkSession, tokenized: DataFrame)(
       run: String => DataFrame): DataFrame = {
     val idxDir = java.nio.file.Files.createTempDirectory("graft-wandq").toString
     graft.index.PackedIndex.build(
-      DocsCorpus.tokenized(s, dir), idxDir, shardBits = 7, groups = 2, p = P)
+      tokenized, idxDir, shardBits = 7, groups = 2, p = P)
     val hits = run(idxDir)
     val bounded = hits.withColumn("score_r", round(col("score"), 4))
       .select(col("doc_id"), col("score_r"))
@@ -424,11 +433,31 @@ object SparkEntry {
          |)
          |SELECT doc_id, near_tf, rank FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** The exhaustive BM25 score expression every top-k oracle shares. */
+  private[graft] val ScoreExpr: String =
+    """sum(qt.q_mult * idf.idf * tf.tf * (1.2 + 1) /
+      |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))""".stripMargin
+
+  /** Standard top-10 oracle (round-4dp score, doc_id-asc tiebreak) over a
+    * given corpus-cte prefix — shared by the raw-table and multi-format
+    * ingest queries so the ranking contract is stated once.
+    */
+  private[graft] def bm25TopKOracleSql(ctes: String): String =
+    ctes +
+      s""", scored AS (
+         |  SELECT tf.doc_id, round($ScoreExpr, 4) + 0.0 AS score_r
+         |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+         |  GROUP BY tf.doc_id
+         |), ranked AS (
+         |  SELECT doc_id, score_r,
+         |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin
+
   private def coreOracleSql: Map[String, String] = {
     val ctes = DocsCorpus.oracleCorpusCtes
-    val scoreExpr =
-      """sum(qt.q_mult * idf.idf * tf.tf * (1.2 + 1) /
-        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))))""".stripMargin
+    val scoreExpr = ScoreExpr
     Map(
       "q_token_count" ->
         (ctes + "SELECT doc_id, CAST(len(terms) AS BIGINT) AS n_tokens FROM tok"),
@@ -458,18 +487,7 @@ object SparkEntry {
              |FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
              |GROUP BY tf.doc_id""".stripMargin),
 
-      "q_bm25_topk" ->
-        (ctes +
-          s""", scored AS (
-             |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
-             |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-             |  GROUP BY tf.doc_id
-             |), ranked AS (
-             |  SELECT doc_id, score_r,
-             |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
-             |  FROM scored
-             |)
-             |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+      "q_bm25_topk" -> bm25TopKOracleSql(ctes),
 
       // filter context: candidates restricted to lang='en', idf/avgdl/eps
       // still computed over the FULL corpus by the shared ctes. The same
@@ -490,17 +508,7 @@ object SparkEntry {
              |)
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
     ) ++ Map(
-      "q_bm25_wand_topk" -> (ctes +
-        s""", scored AS (
-           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
-           |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-           |  GROUP BY tf.doc_id
-           |), ranked AS (
-           |  SELECT doc_id, score_r,
-           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
-           |  FROM scored
-           |)
-           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+      "q_bm25_wand_topk" -> bm25TopKOracleSql(ctes),
 
       // sliding-window phrase count over candidates holding both terms;
       // DuckDB arrays are 1-based, range(a,b) is [a,b). The positional-arm

@@ -29,10 +29,12 @@ object FileQueries {
       !col("text").contains("\r") && !col("text").contains("  ") &&
       !col("text").startsWith(" ") && !col("text").endsWith(" "))
 
-  private val GuardSql =
-    """WHERE text <> '' AND text NOT LIKE '%' || chr(13) || '%'
-      |  AND text NOT LIKE '%  %'
-      |  AND text NOT LIKE ' %' AND text NOT LIKE '% '""".stripMargin
+  private[contract] val GuardPred =
+    "text <> '' AND text NOT LIKE '%' || chr(13) || '%' " +
+      "AND text NOT LIKE '%  %' " +
+      "AND text NOT LIKE ' %' AND text NOT LIKE '% '"
+
+  private val GuardSql = s"WHERE $GuardPred"
 
   /** First 25 docs by doc_id — the bounded driver-side batch the tabular
     * single-file queries aggregate (contract scale; the at-scale shape is
@@ -110,6 +112,36 @@ object FileQueries {
           lit("\n## sec "), col("lang"), lit("\n"), col("text")))
       graft.text.MarkdownChunks.chunks(mdDocs, "md")
         .select(col("doc_id"), col("chunk_pos"), col("chunk_text"))
+    }),
+
+    // multi-format ingest end-to-end: each document is authored as a real
+    // binary (format rotating docx/pdf/html by doc_id), extracted back
+    // through FileParser, tokenized, packed-indexed, and served by the
+    // block-max WAND kernel. Extraction is token-identity on this corpus
+    // (roundtrip arms add only a trailing newline), so the oracle is the
+    // STANDARD exhaustive BM25 chain over the raw table — proving the
+    // format arms compose into the north-rule pipeline without touching
+    // ranking semantics. Guard subset mirrored in the oracle ctes.
+    "q_multiformat_wand" -> ((s, dir) => {
+      val kernel = udf { (id: Long, text: String) =>
+        val payload = (id % 3) match {
+          case 0 => ("docx", DocGen.docx(Seq(text)))
+          case 1 => ("pdf", DocGen.pdf(Seq(Seq(text))))
+          case _ => ("html",
+            s"<html><body><p>${DocGen.xmlEscape(text)}</p></body></html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val (t, e) = FileParser.read(s"doc_$id.${payload._1}", payload._2)
+        require(e.isEmpty, s"extraction failed for doc $id: $e")
+        t
+      }
+      val extracted = guarded(DocsCorpusRef.documents(s, dir))
+        .select(col("doc_id"), kernel(col("doc_id"), col("text")).as("text"))
+      val tokenized = graft.index.InvertedIndex.tokenize(
+        extracted, "doc_id", "text", exact = false)
+      graft.SparkEntry.wandContractTopKFrom(s, tokenized) { idx =>
+        graft.query.Wand.search(s, idx, graft.SparkEntry.contractQueryBatch, k = 200)
+      }
     }),
 
     // excel/csv arm: one csv of the first 25 docs, a NaN-bearing column
@@ -201,6 +233,12 @@ object FileQueries {
          |SELECT doc_id, CAST(1 AS INT) AS chunk_pos,
          |       'T' || doc_id || ' sec ' || lang || ' ' || lower(text) AS chunk_text
          |FROM g""".stripMargin,
+
+    // the STANDARD exhaustive BM25 top-10 oracle, with the corpus ctes
+    // restricted to the guard subset the ingest query indexes — extraction
+    // being token-identity, ranking must equal raw-text BM25 exactly
+    "q_multiformat_wand" -> graft.SparkEntry.bm25TopKOracleSql(
+      graft.DocsCorpus.oracleCorpusCtesWhere(GuardPred)),
 
     "q_csv_json" ->
       s"""$Head25Cte
