@@ -183,7 +183,11 @@ object Bench {
       "q_bm25_tombstone_topk", "q_bm25_compacted_topk",
       "q_phrase_topk", "q_phrase_positional_topk", "q_proximity_topk",
       "q_proximity_positional_topk", "q_near_topk", "q_near_positional_topk",
-      "q_metrics_fused", "q_ann_ivf_topk")
+      "q_metrics_fused", "q_ann_ivf_topk",
+      // file-format roundtrips (author binary + parse, per row) and the
+      // mixed-format ingest-to-WAND pipeline
+      "q_docx_extract", "q_pdf_extract", "q_markdown_chunks",
+      "q_multiformat_wand")
     val battery = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -55,7 +55,7 @@ object FileProbe {
 
   def stage(spark: SparkSession, fmt: String, nDocs: Long, dir: String): String = {
     import spark.implicits._
-    val out = s"$dir/$fmt"
+    val out = s"$dir/$fmt-$nDocs"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")))

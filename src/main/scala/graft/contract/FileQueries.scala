@@ -23,14 +23,22 @@ import graft.extract.TableJson.{CBool, CDouble, CLong, CNull, CStr, Cell}
   */
 object FileQueries {
 
-  /** Spark-side analogue of the oracle WHERE guard. */
+  /** Spark-side analogue of the oracle WHERE guard: single-line,
+    * tab-free, space-normalized text — the subset on which every arm's
+    * generation∘extraction composition is the identity-shaped string
+    * function the oracles state (newlines would be flattened by the ppt
+    * arm and tabs stripped at paragraph edges by the docx arm).
+    */
   private def guarded(df: DataFrame): DataFrame =
     df.filter(col("text") =!= "" &&
-      !col("text").contains("\r") && !col("text").contains("  ") &&
+      !col("text").contains("\r") && !col("text").contains("\n") &&
+      !col("text").contains("\t") && !col("text").contains("  ") &&
       !col("text").startsWith(" ") && !col("text").endsWith(" "))
 
   private[contract] val GuardPred =
     "text <> '' AND text NOT LIKE '%' || chr(13) || '%' " +
+      "AND text NOT LIKE '%' || chr(10) || '%' " +
+      "AND text NOT LIKE '%' || chr(9) || '%' " +
       "AND text NOT LIKE '%  %' " +
       "AND text NOT LIKE ' %' AND text NOT LIKE '% '"
 
@@ -40,9 +48,25 @@ object FileQueries {
     * single-file queries aggregate (contract scale; the at-scale shape is
     * one file per row via extractColumn, exercised by the per-row arms).
     */
+  /** lang/source values whose pandas-JSON rendering is plain quoting —
+    * the string_agg oracles concatenate them raw, so values needing ujson
+    * escapes ('"', '\', '/', controls) are excluded on BOTH sides (none
+    * exist in the generated tables; the escapes themselves are pinned by
+    * FileParserSpec's real-pandas vectors).
+    */
+  private def jsonPlain(c: org.apache.spark.sql.Column) =
+    !c.contains("\"") && !c.contains("\\") && !c.contains("/") &&
+      !c.rlike("[\\x00-\\x1f]")
+
+  private val JsonPlainSql =
+    Seq("lang", "source").map(c =>
+      s"$c NOT LIKE '%\"%' AND $c NOT LIKE '%\\%' AND $c NOT LIKE '%/%' " +
+        s"AND NOT regexp_matches($c, '[\\x00-\\x1f]')").mkString(" AND ")
+
   private def head25(s: SparkSession, dir: String) =
     DocsCorpusRef.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .filter(jsonPlain(col("lang")) && jsonPlain(col("source")))
       .orderBy(col("doc_id")).limit(25).collect()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -69,7 +93,10 @@ object FileQueries {
         val (t, e) = FileParser.read(s"doc_$id.pdf", bytes)
         (t, e.orNull)
       }
+      // the pdf string contract is latin-1; keep the roundtrip corpus
+      // printable-ASCII so the oracle stays a plain concatenation
       guarded(DocsCorpusRef.documents(s, dir))
+        .filter(!col("text").rlike("[^ -~]"))
         .withColumn("r", kernel(col("doc_id"), col("text"), col("lang"), col("source")))
         .select(col("doc_id"), col("r._1").as("extracted"), col("r._2").as("err"))
     }),
@@ -106,7 +133,11 @@ object FileQueries {
     // so the whole chain is a pure string composition
     "q_markdown_chunks" -> ((s, dir) => {
       val mdDocs = guarded(DocsCorpusRef.documents(s, dir))
-        .filter(!col("text").contains("\n") && !col("text").startsWith("#"))
+        // the oracle states the plain emit branch: body length in
+        // [10, 1000) keeps clear of both the 10-char floor and the
+        // 1024-char re-split; '#' at line start would read as a header
+        .filter(!col("text").startsWith("#") &&
+          length(col("text")) >= 10 && length(col("text")) < 1000)
         .withColumn("md", concat(
           lit("# T"), col("doc_id"), lit("\nintro for "), col("source"),
           lit("\n## sec "), col("lang"), lit("\n"), col("text")))
@@ -182,12 +213,14 @@ object FileQueries {
   private def aggSql(expr: String): String =
     s"string_agg($expr, ',' ORDER BY rn)"
 
-  private val Head25Cte =
-    """WITH d AS (
-      |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn,
-      |         doc_id, lang, n_chars, source
-      |  FROM documents ORDER BY doc_id LIMIT 25
-      |)""".stripMargin
+  private def Head25Cte =
+    s"""WITH d AS (
+       |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+       |         doc_id, lang, n_chars, source
+       |  FROM documents
+       |  WHERE $JsonPlainSql
+       |  ORDER BY doc_id LIMIT 25
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_docx_extract" ->
@@ -204,7 +237,8 @@ object FileQueries {
          |       'p2 \\ ' || source || chr(10) AS extracted,
          |       CAST(NULL AS VARCHAR) AS err
          |FROM documents
-         |$GuardSql""".stripMargin,
+         |$GuardSql
+         |  AND NOT regexp_matches(text, '[^ -~]')""".stripMargin,
 
     "q_pptx_extract" ->
       s"""SELECT doc_id,
@@ -220,14 +254,18 @@ object FileQueries {
          |FROM documents
          |$GuardSql""".stripMargin,
 
+    // chunk content is lowercased (headers are not) — hence lower(source)
+    // in chunk 0 and lower(text) in chunk 1, while 'T'||doc_id and lang
+    // ride the header prefix untouched
     "q_markdown_chunks" ->
       s"""WITH g AS (
          |  SELECT * FROM documents
          |  $GuardSql
-         |    AND text NOT LIKE '%' || chr(10) || '%' AND text NOT LIKE '#%'
+         |    AND text NOT LIKE '#%'
+         |    AND length(text) >= 10 AND length(text) < 1000
          |)
          |SELECT doc_id, CAST(0 AS INT) AS chunk_pos,
-         |       'T' || doc_id || ' intro for ' || source AS chunk_text
+         |       'T' || doc_id || ' intro for ' || lower(source) AS chunk_text
          |FROM g
          |UNION ALL
          |SELECT doc_id, CAST(1 AS INT) AS chunk_pos,

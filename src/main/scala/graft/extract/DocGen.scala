@@ -106,7 +106,10 @@ object DocGen {
     val p = "http://schemas.openxmlformats.org/presentationml/2006/main"
     val slideEntries = slides.zipWithIndex.map { case (paras, i) =>
       val body = paras.map { t =>
-        s"""<a:p><a:r><a:t>${xmlEscape(t)}</a:t></a:r></a:p>"""
+        // '\n' inside a paragraph becomes a DrawingML <a:br/> run break
+        val runs = t.split("\n", -1).map(seg =>
+          s"<a:r><a:t>${xmlEscape(seg)}</a:t></a:r>").mkString("<a:br/>")
+        s"""<a:p>$runs</a:p>"""
       }.mkString
       s"ppt/slides/slide${i + 1}.xml" ->
         utf8(s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -211,7 +214,12 @@ object DocGen {
         case '('  => sb.append("\\(")
         case ')'  => sb.append("\\)")
         case '\\' => sb.append("\\\\")
-        case c if c < 32 || c > 126 => sb.append(f"\\${c.toInt & 0xFF}%03o")
+        case c if c > 255 =>
+          // the simple-font text contract here is latin-1; silently
+          // emitting the low byte would corrupt text — fail loudly
+          throw new IllegalArgumentException(
+            f"DocGen.pdf: char U+${c.toInt}%04X not representable in latin-1")
+        case c if c < 32 || c > 126 => sb.append(f"\\${c.toInt}%03o")
         case c => sb.append(c)
       }
       sb.append(")").toString

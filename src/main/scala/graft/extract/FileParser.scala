@@ -99,19 +99,23 @@ object FileParser extends Serializable {
     * which is the point of the operator; the surrounding plan stays
     * declarative and the kernel is embarrassingly parallel.
     */
-  def extractColumn(path: Column, payload: Column): (Column, Column) = {
+  def extractColumn(path: Column, payload: Column): Column = {
     val u = udf { (p: String, bytes: Array[Byte]) =>
       val (text, err) = read(p, bytes)
       (text, err.orNull)
     }
-    val res = u(path, payload)
-    (res.getField("_1"), res.getField("_2"))
+    u(path, payload)
   }
 
-  /** Convenience frame form of [[extractColumn]]. */
+  /** Convenience frame form of [[extractColumn]]. The kernel result is
+    * bound to ONE intermediate column before the field projection, so the
+    * parse runs exactly once per row structurally — not relying on codegen
+    * common-subexpression elimination to dedupe two getField references.
+    */
   def extractDf(df: DataFrame, pathCol: String, payloadCol: String,
-                outCol: String = "text"): DataFrame = {
-    val (text, err) = extractColumn(df(pathCol), df(payloadCol))
-    df.withColumn(outCol, text).withColumn(s"${outCol}_err", err)
-  }
+                outCol: String = "text"): DataFrame =
+    df.withColumn("__fp", extractColumn(df(pathCol), df(payloadCol)))
+      .withColumn(outCol, org.apache.spark.sql.functions.col("__fp._1"))
+      .withColumn(s"${outCol}_err", org.apache.spark.sql.functions.col("__fp._2"))
+      .drop("__fp")
 }

@@ -155,9 +155,10 @@ object Pptx extends Serializable {
             case XMLStreamConstants.START_ELEMENT
                 if isA(nsOf(r)) =>
               r.getLocalName match {
-                case "p" => para = new java.lang.StringBuilder()
-                case "t" => inT = para != null
-                case _   =>
+                case "p"  => para = new java.lang.StringBuilder()
+                case "t"  => inT = para != null
+                case "br" => if (para != null) para.append('\n')
+                case _    =>
               }
             case XMLStreamConstants.END_ELEMENT if isA(nsOf(r)) =>
               r.getLocalName match {

@@ -345,7 +345,9 @@ object Pdf extends Serializable {
           start + n.toInt
         case _ =>
           // indirect or missing /Length: scan for the endstream keyword
-          val idx = indexOfKeyword("endstream", start)
+          // (EOL-preceded, so the 9-byte substring inside binary Flate
+          // data cannot terminate the stream early)
+          val idx = indexOfKeywordAfterEol("endstream", start)
           if (idx < 0)
             throw new IllegalArgumentException("pdf: unterminated stream")
           // trailing EOL before endstream belongs to the marker, not data
@@ -361,12 +363,16 @@ object Pdf extends Serializable {
       body
     }
 
-    private def indexOfKeyword(kw: String, from: Int): Int = {
-      var i = from
+    /** First occurrence of `kw` preceded by an EOL byte (the spec requires
+      * an EOL before `endstream`); a raw substring match inside stream
+      * bytes without the boundary does not qualify.
+      */
+    private def indexOfKeywordAfterEol(kw: String, from: Int): Int = {
+      var i = math.max(from, 1)
       val limit = b.length - kw.length
       while (i <= limit) {
         var j = 0
-        var ok = true
+        var ok = b(i - 1) == '\n' || b(i - 1) == '\r'
         while (ok && j < kw.length) {
           if (b(i + j) != kw.charAt(j).toByte) ok = false
           j += 1

@@ -330,6 +330,7 @@ object Xlsx extends Serializable {
       var cellType: String = null
       var cellCol = -1
       var inV = false
+      var sawVal = false // any v/t content in the current cell
       val vText = new java.lang.StringBuilder()
       while (r.hasNext) {
         r.next() match {
@@ -339,19 +340,24 @@ object Xlsx extends Serializable {
               cellType = Option(attr(r, "t")).getOrElse("n")
               cellCol = Option(attr(r, "r")).map(colIndex)
                 .getOrElse(row.length)
-            case "v" | "t" if cellCol >= 0 => inV = true; vText.setLength(0)
+              sawVal = false
+              vText.setLength(0)
+            // text ACCUMULATES across v/t elements: an inline string may
+            // carry several rich-text runs (<is><r><t>..</t></r>...) and
+            // pandas/openpyxl concatenate them
+            case "v" | "t" if cellCol >= 0 => inV = true; sawVal = true
             case _ =>
           }
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
             case "row" if row != null => rows += row.toVector; row = null
-            case "c" if cellCol >= 0 => cellCol = -1; cellType = null
-            case "v" | "t" if inV =>
-              inV = false
-              if (cellCol >= 0 && row != null) {
+            case "c" if cellCol >= 0 =>
+              if (sawVal && row != null) {
                 while (row.length < cellCol) row += CNull
                 val cell = decodeCell(cellType, vText.toString, shared)
                 if (row.length == cellCol) row += cell else row(cellCol) = cell
               }
+              cellCol = -1; cellType = null; sawVal = false
+            case "v" | "t" => inV = false
             case _ =>
           }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inV =>

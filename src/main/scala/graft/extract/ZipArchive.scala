@@ -38,14 +38,31 @@ object ZipArchive {
     out.result()
   }
 
-  /** Entry payload by exact name; fails loudly when absent. */
+  /** Entry payload by exact name; fails loudly when absent. Streams and
+    * buffers ONLY the matching entry — non-matching entries (embedded
+    * media can dwarf the XML part) are skipped without materialization,
+    * which matters on the hot per-row extraction kernels.
+    */
   def entry(bytes: Array[Byte], name: String): Array[Byte] =
-    entries(bytes).collectFirst { case (n, b) if n == name => b }
+    entryOpt(bytes, name)
       .getOrElse(throw new IllegalArgumentException(
         s"zip: required entry '$name' not found"))
 
-  def entryOpt(bytes: Array[Byte], name: String): Option[Array[Byte]] =
-    entries(bytes).collectFirst { case (n, b) if n == name => b }
+  def entryOpt(bytes: Array[Byte], name: String): Option[Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e: ZipEntry = zin.getNextEntry
+      if (e == null)
+        throw new IllegalArgumentException("zip: no entries (not a zip archive?)")
+      while (e != null) {
+        if (!e.isDirectory && e.getName == name)
+          return Some(readEntry(zin, name))
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+      None
+    } finally zin.close()
+  }
 
   private def readEntry(zin: ZipInputStream, name: String): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()

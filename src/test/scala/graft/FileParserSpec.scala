@@ -26,7 +26,7 @@ class FileParserSpec extends AnyFunSuite {
   // ---- cross-implementation vectors (Python-stdlib writers) -------------
 
   for (name <- Seq("vec1.docx", "vec1.pptx", "vec1.csv", "vec1.xlsx",
-                   "vec1.pdf", "vec2.pdf", "vec1.epub")) {
+                   "vec1.pdf", "vec2.pdf", "vec3.pdf", "vec1.epub")) {
     test(s"vector $name extracts to the reference-semantics expectation") {
       val (text, err) = FileParser.read(name, vector(name))
       assert(err.isEmpty, s"unexpected error: $err")
@@ -61,6 +61,12 @@ class FileParserSpec extends AnyFunSuite {
     val (text, err) = FileParser.read("deck.pptx", bytes)
     assert(err.isEmpty)
     assert(text == "s1 p1 s1 p2 s2 only")
+  }
+
+  test("pptx: a:br run breaks surface as newlines (not glued words)") {
+    val bytes = DocGen.pptx(Seq(Seq("line one\nline two")))
+    assert(Pptx.extract(bytes) == "line one\nline two")
+    assert(FileParser.read("d.pptx", bytes)._1 == "line one line two")
   }
 
   // ---- csv / xlsx / pandas json -----------------------------------------
@@ -135,6 +141,9 @@ class FileParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Pdf.extract("nope".getBytes))
     intercept[IllegalArgumentException](
       Pdf.extract("%PDF-1.4\ngarbage without objects".getBytes))
+    // the generator's latin-1 string contract fails loudly, never corrupts
+    val e = intercept[IllegalArgumentException](DocGen.pdf(Seq(Seq("中文"))))
+    assert(e.getMessage.contains("latin-1"))
   }
 
   // ---- epub -------------------------------------------------------------

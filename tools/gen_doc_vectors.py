@@ -167,7 +167,12 @@ data_rows = [
 
 def cell_xml(ref, kind, val):
     if kind == "inline":
-        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{xml_escape(val)}</t></is></c>'
+        # split into two rich-text runs — pandas/openpyxl concatenate them
+        mid = len(val) // 2
+        return (f'<c r="{ref}" t="inlineStr"><is>'
+                f'<r><t xml:space="preserve">{xml_escape(val[:mid])}</t></r>'
+                f'<r><t xml:space="preserve">{xml_escape(val[mid:])}</t></r>'
+                f'</is></c>')
     if kind == "num":
         return f'<c r="{ref}"><v>{val}</v></c>'
     return ""
@@ -280,6 +285,43 @@ pdf_expected = normalize("".join("\n".join(ls) + "\n" for ls in pdf_pages))
 write("vec1.pdf", make_pdf(pdf_pages, compress=True), pdf_expected)
 write("vec2.pdf", make_pdf([["plain uncompressed", "two lines"]], compress=False),
       normalize("plain uncompressed\ntwo lines\n"))
+
+
+def make_pdf_indirect_length(lines):
+    ops = "BT\n/F1 12 Tf\n72 720 Td\n"
+    for j, line in enumerate(lines):
+        if j > 0:
+            ops += "0 -14 TD\n"
+        ops += pdf_str(line) + " Tj\n"
+    ops += "ET\n"
+    data = zlib.compress(ops.encode("latin-1"))
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> /Contents 4 0 R >>"),
+        4: b"<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n" + data + b"\nendstream",
+        5: str(len(data)).encode(),
+        6: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = out.tell()
+        out.write(f"{oid} 0 obj\n".encode())
+        out.write(objs[oid])
+        out.write(b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(b"xref\n0 7\n0000000000 65535 f \n")
+    for oid in range(1, 7):
+        out.write(("%010d 00000 n \n" % offsets[oid]).encode())
+    out.write(f"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode())
+    return out.getvalue()
+
+
+write("vec3.pdf", make_pdf_indirect_length(["indirect length", "fallback scan"]),
+      normalize("indirect length\nfallback scan\n"))
 
 # ---------------------------------------------------------------- epub
 chapters = ["Chapter one text", "Chapter <2> & entities", "Final chapter"]
