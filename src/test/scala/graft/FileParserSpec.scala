@@ -91,6 +91,25 @@ class FileParserSpec extends AnyFunSuite {
       """{"b":{"0":0.5,"1":1.0,"2":12.25}}""")
   }
 
+  test("csv arm matches REAL pandas on 40 fuzz tables") {
+    // randomized headers/dtypes/missing-cells/special chars, expectations
+    // from actual pandas read_csv -> dropna(axis=1) -> to_json
+    // (tools/gen_doc_vectors.py's sibling block; committed vectors)
+    val in = getClass.getResourceAsStream("/docfiles/csv_fuzz.json")
+    assert(in != null)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = try mapper.readTree(in) finally in.close()
+    var i = 0
+    root.forEach { node =>
+      val csv = node.get("csv").asText
+      val expected = node.get("expected").asText
+      val got = Csv.extract(csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(got == expected, s"fuzz case $i diverged from pandas:\n$csv")
+      i += 1
+    }
+    assert(i == 40)
+  }
+
   test("xlsx roundtrip: shared strings, numerics, gaps, dropna") {
     val bytes = DocGen.xlsx(
       Seq("name", "n", "f", "gappy"),

@@ -348,3 +348,53 @@ epub_expected = "\n".join(chapters)
 write("vec1.epub", epub_bytes, epub_expected)
 
 print("done")
+
+# ------------------------------------------------------------- csv fuzz
+# 40 randomized tables (dtype mixes, missing cells, quoting/specials),
+# expectations from REAL pandas — regenerates src/test/resources/docfiles/
+# csv_fuzz.json consumed by FileParserSpec's fuzz loop.
+import random
+
+random.seed(42)
+fuzz_words = ["alpha", "beta", "gamma", "x/y", 'q"t', "a,b", "path\\seg",
+              "True", "zz"]
+
+
+def _rand_cell(kind):
+    if kind == "int":
+        return str(random.randint(-9999, 9999))
+    if kind == "float":
+        return f"{random.uniform(-100,100):.2f}"
+    if kind == "bool":
+        return random.choice(["True", "False"])
+    if kind == "word":
+        return random.choice(fuzz_words)
+    return ""
+
+
+def _field(s):
+    if any(ch in s for ch in ',"\n\r'):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+fuzz_cases = []
+for _ in range(40):
+    ncols = random.randint(2, 5)
+    nrows = random.randint(1, 6)
+    kinds = [random.choice(["int", "float", "bool", "word"])
+             for _ in range(ncols)]
+    header = [f"c{j}" for j in range(ncols)]
+    rows = [["" if random.random() < 0.15 else _rand_cell(kinds[j])
+             for j in range(ncols)] for _ in range(nrows)]
+    fuzz_cases.append("\n".join(",".join(_field(c) for c in row)
+                                for row in [header] + rows) + "\n")
+
+fuzz_out = []
+for text in fuzz_cases:
+    fdf = pd.read_csv(io.BytesIO(text.encode()))
+    fuzz_out.append({"csv": text,
+                     "expected": fdf.dropna(axis=1).to_json(force_ascii=False)})
+with open(os.path.join(OUT, "csv_fuzz.json"), "w") as f:
+    json.dump(fuzz_out, f, indent=0)
+print(f"csv_fuzz.json: {len(fuzz_out)} cases")
