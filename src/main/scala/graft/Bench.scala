@@ -55,18 +55,33 @@ object Bench {
         val s = java.nio.file.Files.list(root)
         try s.forEach(child => if (!keep(child)) rmTree(child)) finally s.close()
       }
+    // age gate: entries touched in the last 10 minutes may belong to a
+    // CONCURRENTLY running sibling JVM (its blockmgr/spark scratch gains
+    // children at stage boundaries, refreshing mtime) — deleting those
+    // would kill its in-flight stages. Concurrent benches are outside the
+    // frozen methodology anyway; the gate makes the violation non-fatal
+    // while still reclaiming the hours-old accumulation that caused the
+    // round-5 phantom regressions.
+    def stale(p: java.nio.file.Path): Boolean =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis <
+        System.currentTimeMillis() - 10 * 60 * 1000L
+      catch { case _: Exception => false }
     // /dev/shm/graft-tmp is this engine's DEDICATED tmpfs tmpdir: every
     // child (spark-*/blockmgr-* shuffle scratch from past runs) is ours,
     // EXCEPT it may also be the current java.io.tmpdir — freshly created
-    // entries of this very JVM are ours too and safe to drop pre-session
-    cleanChildren(java.nio.file.Paths.get("/dev/shm/graft-tmp"), _ => false)
+    // entries of this very JVM are ours too
+    cleanChildren(java.nio.file.Paths.get("/dev/shm/graft-tmp"), p => !stale(p))
     // under a generic shared tmpdir, only graft-* entries are known ours —
-    // except graft-scale, the PERSISTED scaling corpus reused across rounds
+    // except the directory NAMED graft-scale exactly: the PERSISTED
+    // scaling corpus reused across rounds. ScalingBench's per-rep index
+    // scratch (createTempDirectory("graft-scale-<cores>") -> random
+    // suffix) must NOT ride that exemption, or reps measure under prior
+    // reps' multi-GB leftovers — the exact state this cleanup targets.
     val tmpdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     if (tmpdir.toString != "/dev/shm/graft-tmp")
       cleanChildren(tmpdir, { p =>
         val n = p.getFileName.toString
-        !n.startsWith("graft-") || n.startsWith("graft-scale")
+        !n.startsWith("graft-") || n == "graft-scale" || !stale(p)
       })
     removed
   }

@@ -50,8 +50,12 @@ object ScalingBench {
                 f"wall=${dur}ms name=${si.name.take(70)}")
           }
         })
+    // the per-rep index scratch is deleted by THIS rep (its creator), not
+    // left for Bench.cleanOwnScratch — whose sibling-protecting age gate
+    // would keep minutes-old leftovers, and whose graft-scale corpus
+    // exemption must not have to reason about these names
+    val dir = Files.createTempDirectory(s"graft-scale-$cores").toString
     try {
-      val dir = Files.createTempDirectory(s"graft-scale-$cores").toString
       val pages = spark.read.parquet(pagesPath)
       val t0 = System.nanoTime()
       corpus.PagesPipeline.buildIndex(pages, dir, shardBits = 12, groups = 2)
@@ -63,7 +67,17 @@ object ScalingBench {
       val querySec = (System.nanoTime() - t1) / 1e9
       Run(cores, buildSec, nPages / buildSec, querySec, nQueries / querySec,
         nPages, nQueries)
-    } finally spark.stop()
+    } finally {
+      spark.stop()
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        try Files.deleteIfExists(p) catch { case _: Exception => () }
+      }
+      rm(Paths.get(dir))
+    }
   }
 
   private def writeRun(r: Run): Unit = {

@@ -352,19 +352,78 @@ object Ann {
     * count() is one column-pruned agg; at real scale replace with a
     * hash-mod sample. cell_id = vec_id/step — no global window needed.
     */
+  /** Above this cell count the farthest-point refinement (O(nCells x
+    * pool x dim) driver-side) is skipped and the plain hash-order prefix
+    * seeds directly; Lloyd's sample at that scale smooths the residual
+    * imbalance.
+    */
+  private[graft] val GreedySeedMaxCells = 512
+
   def seedCentroids(corpus: DataFrame, nCells: Int): DataFrame = {
-    val row = corpus.agg(count(lit(1)), min(col("vec_id").cast("long"))).first()
-    val n = row.getLong(0)
-    val minId = if (row.isNullAt(1)) 0L else row.getLong(1)
-    val step = math.max(1L, n / nCells)
-    // offset-safe: stride over (vec_id - minId) so non-zero-based id ranges
-    // still seed up to nCells centroids
-    val rel = col("vec_id").cast("long") - lit(minId)
-    corpus.select(col("vec_id").cast("long"),
-      col("vec").cast("array<double>").as("cvec"), rel.as("__rel"))
-      .filter(pmod(col("__rel"), lit(step)) === 0 &&
-        col("__rel") < lit(step * nCells))
-      .select((col("__rel") / lit(step)).cast("long").as("cell_id"), col("cvec"))
+    // Hash-ordered candidates: id-distribution-independent (an id-stride
+    // form collapses on sparse id ranges — hash-sampled train sets,
+    // compaction holes, arbitrary upstream ids; the 2M probe measured 12
+    // centroids from a 256-cell stride seed). orderBy+limit is
+    // TakeOrderedAndProject (per-partition heaps, driver merge of a
+    // bounded row count). For moderate cell counts the nCells seeds are
+    // then chosen from a 4x pool by deterministic greedy farthest-point
+    // (k-means++-shaped): a plain uniform prefix misses small clusters
+    // with coupon-collector probability, which costs recall-at-scanned
+    // on genuinely clustered data (DedupAnnSpec pins the property).
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val poolFactor = if (nCells <= GreedySeedMaxCells) 4 else 1
+    val bounded = corpus
+      .select(xxhash64(col("vec_id")).as("__h"),
+        col("vec_id").cast("long").as("__id"),
+        col("vec").cast("array<double>").as("cvec"))
+      .orderBy(col("__h"), col("__id")).limit(nCells * poolFactor)
+    if (poolFactor == 1) {
+      val w = Window.orderBy(col("__h"), col("__id"))
+      bounded.withColumn("cell_id", row_number().over(w).cast("long") - 1)
+        .select(col("cell_id"), col("cvec"))
+    } else {
+      val pool = bounded.orderBy(col("__h"), col("__id"))
+        .select(col("cvec")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val k = math.min(nCells, pool.length)
+      val chosen = new Array[Int](k)
+      val minD = Array.fill(pool.length)(Double.MaxValue)
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      var c = 0
+      while (c < k) {
+        val pick =
+          if (c == 0) 0 // deterministic start: first in hash order
+          else {
+            var best = -1
+            var bestD = -1.0
+            var i = 0
+            while (i < pool.length) {
+              if (minD(i) > bestD) { bestD = minD(i); best = i }
+              i += 1
+            }
+            best
+          }
+        chosen(c) = pick
+        val pv = pool(pick)
+        var i = 0
+        while (i < pool.length) {
+          val dd = d2(pool(i), pv)
+          if (dd < minD(i)) minD(i) = dd
+          i += 1
+        }
+        c += 1
+      }
+      import spark.implicits._
+      chosen.toIndexedSeq.zipWithIndex
+        .map { case (pi, ci) => (ci.toLong, pool(pi).toSeq) }
+        .toDF("cell_id", "cvec")
+    }
   }
 
   /** Lloyd refinement: iterate assign -> per-cell elementwise mean. Each

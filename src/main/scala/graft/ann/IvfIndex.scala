@@ -130,24 +130,11 @@ object IvfIndex {
         val everyK = math.max(1L, (n + sampleCap - 1) / sampleCap)
         c.filter(pmod(xxhash64(col("vec_id")), lit(everyK)) === 0)
       }
-    // Seed from the hash-ordered first `cells` train vectors — NOT the
-    // dense-id stride of Ann.seedCentroids, which collapses on sparse id
-    // ranges (a hash-sampled train set, compaction holes, arbitrary
-    // upstream ids): with ids spanning [0, N) but only |sample| rows, the
-    // stride window rel < step*cells keeps ~|sample|*cells/N seeds — the
-    // 2M probe measured 12 centroids from a 256-cell build. orderBy+limit
-    // is a TakeOrderedAndProject (per-partition heaps, driver merge of
-    // `cells` rows); the rank window then runs over <= cells rows.
-    val seed = {
-      val bounded = train
-        .select(xxhash64(col("vec_id")).as("__h"), col("vec_id").as("__id"),
-          col("vec").as("cvec"))
-        .orderBy(col("__h"), col("__id")).limit(cells)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("__h"), col("__id"))
-      bounded.withColumn("cell_id", row_number().over(w).cast("long") - 1)
-        .select(col("cell_id"), col("cvec"))
-    }
+    // hash-ordered seeding, sparse-id-safe — Ann.seedCentroids carries
+    // the same form since the round-6 review (the 2M probe caught an
+    // earlier id-stride seed keeping 12 of 256 centroids on a
+    // hash-sampled train set), so every caller shares one implementation
+    val seed = Ann.seedCentroids(train, cells)
     val centroids = Ann.lloyd(train, seed, iters)
     val cents = centroids
       .select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))

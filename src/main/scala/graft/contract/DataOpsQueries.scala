@@ -242,11 +242,16 @@ object DataOpsQueries {
     // AND pair_count_delta = 0 on every row (set equality, both ways).
     "q_jaccard_hashed" -> ((s, dir) => {
       val docs = DocsCorpus.documents(s, dir)
+      // each heavy pair plan materializes exactly ONCE (localCheckpoint);
+      // the count diagnostics and the parity join both read the pinned
+      // results instead of re-deriving the shingle joins (which would
+      // quadruple the most expensive dedup computation in the battery)
       val hashed = Dedup.jaccardPairs(docs, n = 3, threshold = 0.05,
-        hashedShingles = true)
+        hashedShingles = true).localCheckpoint()
       val str = Dedup.jaccardPairs(docs, n = 3, threshold = 0.05)
+        .localCheckpoint()
         .withColumn("matches_string", lit(true))
-      val delta = hashed.count() - str.count()
+      val delta = hashed.count() - str.drop("matches_string").count()
       hashed.join(str, Seq("doc_a", "doc_b", "jaccard"), "left")
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           coalesce(col("matches_string"), lit(false)).as("matches_string"),

@@ -73,9 +73,14 @@ object PositionalMode {
     }
   }
 
-  /** Distinct tokens under unordered NEAR/slop (head = anchor term). */
+  /** Distinct tokens under unordered NEAR/slop (head = anchor term).
+    * Repeated tokens in the text are deduplicated here (first occurrence
+    * keeps its position in the slot order) — NearMatch itself requires
+    * distinct terms, and a raw token list would fail the whole serving
+    * batch on any query like "big big data".
+    */
   final case class NearMode(slop: Int) extends PositionalMode {
     override def parse(text: String): PositionalQuery =
-      PositionalQuery.NearMatch(toks(text), slop)
+      PositionalQuery.NearMatch(toks(text).distinct, slop)
   }
 }
