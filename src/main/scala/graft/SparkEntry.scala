@@ -305,6 +305,19 @@ object SparkEntry {
           round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
     }),
 
+    // Spell correction / did-you-mean over the corpus vocabulary:
+    // SymSpell-shaped deletion-variant join for candidate pruning, exact
+    // codegen'd levenshtein as the semantic predicate, df-ranked top-5.
+    // One term per edit class (insert/delete/substitute), one exact term,
+    // one unmatchable. Oracle: DuckDB levenshtein() over the shared idf
+    // cte's (term, df) dictionary — the pruning join must be invisible.
+    "q_spell_suggest" -> ((s, dir) => {
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.query.SpellCorrect.suggestFromCorpus(s, tok, Seq(
+        1L -> "sparkk", 2L -> "tble", 3L -> "quary",
+        4L -> "vector", 5L -> "zzzzzzz"), k = 5)
+    }),
+
     // S6 extraction kernel, oracle-checked: wrap each document's text in a
     // fixed tag skeleton, run the REAL HtmlText kernel, and compare against
     // the analytically-known result (for markup-free text the parser yields
@@ -513,6 +526,23 @@ object SparkEntry {
       // sliding-window phrase count over candidates holding both terms;
       // DuckDB arrays are 1-based, range(a,b) is [a,b). The positional-arm
       // query shares the oracle verbatim — same counts from the index alone.
+      "q_spell_suggest" -> (ctes +
+        s""", sq(query_id, q_term) AS (VALUES
+           |    (CAST(1 AS BIGINT), 'sparkk'), (CAST(2 AS BIGINT), 'tble'),
+           |    (CAST(3 AS BIGINT), 'quary'), (CAST(4 AS BIGINT), 'vector'),
+           |    (CAST(5 AS BIGINT), 'zzzzzzz')
+           |), cand AS (
+           |  SELECT sq.query_id, sq.q_term, idf.term AS suggestion, idf.df
+           |  FROM sq, idf WHERE levenshtein(sq.q_term, idf.term) <= 1
+           |), ranked AS (
+           |  SELECT query_id, q_term, suggestion, df,
+           |         CAST(row_number() OVER (PARTITION BY query_id, q_term
+           |           ORDER BY df DESC, suggestion ASC) AS INT) AS rank
+           |  FROM cand
+           |)
+           |SELECT query_id, q_term, suggestion, df, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin),
+
       "q_phrase_topk" -> phraseOracle(ctes),
       "q_phrase_positional_topk" -> phraseOracle(ctes),
       "q_proximity_topk" -> proximityOracle(ctes),

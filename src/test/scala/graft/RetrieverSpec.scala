@@ -76,6 +76,11 @@ class RetrieverSpec extends SparkSpec {
     assert(seqHits.nonEmpty)
   }
 
+  test("NearMode.parse dedupes repeated tokens instead of failing the batch") {
+    val q = graft.query.PositionalMode.NearMode(slop = 4).parse("big big data")
+    assert(q == graft.query.PositionalQuery.NearMatch(Seq("big", "data"), 4))
+  }
+
   test("filtered Dataset batch equals the filtered Seq path (staged chunks)") {
     val dir = Files.createTempDirectory("graft-dsqf").toString
     corpus.PagesPipeline.buildIndex(

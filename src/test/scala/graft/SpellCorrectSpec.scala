@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.SpellCorrect
+
+/** SymSpell-shaped spell correction: the deletion-variant pruning join
+  * must be semantically invisible (exact levenshtein decides), catch all
+  * three distance-1 edit classes, exclude transpositions (distance 2 in
+  * plain Levenshtein), respect the df ranking, and drop-account hot
+  * variants through the per-variant cap.
+  */
+class SpellCorrectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dict(rows: (String, Long)*) = rows.toDF("term", "df")
+
+  private def suggestions(d: org.apache.spark.sql.DataFrame,
+                          qs: (Long, String)*): Seq[(Long, String, String, Long, Int)] =
+    SpellCorrect.suggest(qs.toDF("query_id", "term"),
+      SpellCorrect.deletionIndex(d), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSeq
+
+  test("all three edit classes match; transposition and distance-2 do not") {
+    val d = dict("spark" -> 10L, "table" -> 20L, "query" -> 5L, "ab" -> 7L,
+      "ba" -> 3L, "tales" -> 2L)
+    val got = suggestions(d,
+      1L -> "sparkk", // insertion in the query
+      2L -> "tble",   // deletion in the query
+      3L -> "quary",  // substitution
+      4L -> "ab",     // exact + NOT the transposed 'ba' (lev=2)
+      5L -> "zzzzz")  // nothing within 1
+    assert(got == Seq(
+      (1L, "sparkk", "spark", 10L, 1),
+      (2L, "tble", "table", 20L, 1),
+      (3L, "quary", "query", 5L, 1),
+      (4L, "ab", "ab", 7L, 1)))
+  }
+
+  test("ranking is df desc then term asc; k bounds the list") {
+    val d = dict("cat" -> 5L, "car" -> 9L, "can" -> 9L, "cab" -> 1L,
+      "bat" -> 4L)
+    val got = suggestions(d, 1L -> "cat")
+    // all of cat/car/can/cab/bat are within 1 of 'cat'
+    assert(got.map(g => (g._3, g._5)) ==
+      Seq(("can", 1), ("car", 2), ("cat", 3), ("bat", 4), ("cab", 5)))
+  }
+
+  test("per-variant cap keeps the top-df terms and stays exact for them") {
+    val d = dict("aa" -> 1L, "ab" -> 5L, "ac" -> 9L, "ad" -> 7L)
+    // variant 'a' is shared by all four; cap 2 keeps ac (9) and ad (7)
+    val idx = SpellCorrect.deletionIndex(d, maxTermsPerVariant = 2)
+    val kept = idx.filter(col("variant") === "a")
+      .select(col("term")).collect().map(_.getString(0)).toSet
+    assert(kept == Set("ac", "ad"))
+    // suggestions for 'a' now see only the kept candidates (documented
+    // drop semantics: a capped-out term lost the df ranking anyway)
+    val got = SpellCorrect.suggest(Seq(1L -> "a").toDF("query_id", "term"),
+      idx, k = 5).orderBy(col("rank"))
+      .collect().map(r => (r.getString(2), r.getInt(4))).toSeq
+    assert(got == Seq(("ac", 1), ("ad", 2)))
+  }
+
+  test("dictionary counts document frequency, not term frequency") {
+    val tok = Seq(
+      (1L, Seq("x", "x", "y")),
+      (2L, Seq("x", "z"))).toDF("doc_id", "terms")
+    val d = SpellCorrect.dictionary(tok)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+  }
+}
