@@ -187,6 +187,67 @@ object SparkEntry {
         minShouldMatch = 3)
     }),
 
+    // ES terms-aggregation (facets) over the full WAND match set (k = 0 =
+    // every doc matching >= 1 query term, ranked): count matched docs per
+    // language, top facet values by (count desc, value asc). The
+    // aggregation half of "search + drill-down".
+    "q_facets" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-fct").toString
+      graft.index.PackedIndex.build(DocsCorpus.tokenized(s, dir), idxDir,
+        shardBits = 7, groups = 2, p = P)
+      val hits = graft.query.Wand.search(s, idxDir, contractQueryBatch, k = 0)
+      graft.query.Facets.termsFacet(hits, DocsCorpus.documents(s, dir),
+        "lang", topN = 10)
+        .select(col("facet"), col("n_docs"), col("rank"))
+    }),
+
+    // KWIC snippet / highlight generation over the BM25 top-10 result page:
+    // per hit doc, the 8-token window covering the most DISTINCT query
+    // terms (earliest on ties), emitted as (start, n_matched, snippet).
+    // Oracle: DuckDB list comprehension over every window of the ranked
+    // docs' token arrays — the incremental sliding kernel must equal the
+    // exhaustive per-window rescan.
+    "q_snippets" -> ((s, dir) => {
+      val top = bm25TopK(s, dir, 10).select(col("doc_id"))
+      val tok = DocsCorpus.tokenized(s, dir).join(top, "doc_id")
+      graft.query.Snippets.bestWindow(tok, DocsCorpus.fixedQuery.toSet,
+        window = 8)
+    }),
+
+    // Autocomplete: top-10 vocabulary terms with prefix 's' by (df desc,
+    // term asc) — the suggest-as-you-type arm next to q_spell_suggest.
+    "q_prefix_suggest" -> ((s, dir) =>
+      graft.query.SpellCorrect.prefixSuggest(
+        graft.query.SpellCorrect.dictionary(DocsCorpus.tokenized(s, dir)),
+        "s", k = 10)),
+
+    // Fuzzy (typo-tolerant) retrieval — ES `fuzziness: 1` match shape:
+    // every query token is rewritten to its distance-1 vocabulary
+    // expansion through the SymSpell deletion index (exact levenshtein
+    // decides, pruning join invisible), the distinct union scores as a
+    // plain BM25 query (each expanded term once, own idf), served via the
+    // WAND kernel. Oracle: DuckDB levenshtein() expansion over the idf
+    // dictionary feeding the shared exhaustive score expression.
+    "q_fuzzy_topk" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      val dict = graft.query.SpellCorrect.dictionary(DocsCorpus.tokenized(s, dir))
+      val didx = graft.query.SpellCorrect.deletionIndex(dict)
+      graft.query.SpellCorrect.fuzzySearch(s, idx,
+        Seq(0L -> "sparkk tble quary vectr zzzzzzz"), k = 200, didx)
+    }),
+
+    // S9/J7 bool must_not retrieval (Elasticsearch bool-query negative
+    // clause): docs containing ANY excluded term are barred from the heap;
+    // surviving docs score exactly as plain BM25 (exclusion restricts
+    // candidates, never stats — the same contract as the allowlist/msm).
+    // Exercised through per-query exclusion cursors in the WAND kernel
+    // (idf-0 posting cursors consulted before full evaluation, walked
+    // forward-only alongside the non-decreasing evaluation order); oracle =
+    // exhaustive scoring minus an EXISTS over the excluded terms' postings.
+    "q_bm25_must_not" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      graft.query.Wand.search(s, idx, contractQueryBatch, k = 200,
+        mustNot = Map(0L -> "stream window"))
+    }),
+
     // §2.10 tombstone delete, driver-exercised: build, delete every zh doc,
     // query. Visibility-only semantics — idf/avgdl stay FULL-corpus (stats
     // frozen until compaction, like Lucene pre-merge), deleted docs are
@@ -522,6 +583,101 @@ object SparkEntry {
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
     ) ++ Map(
       "q_bm25_wand_topk" -> bm25TopKOracleSql(ctes),
+
+      // terms-aggregation facets: the match set is every doc holding >= 1
+      // query term (exactly WAND k=0's candidate contract incl. score-0
+      // docs), counted per language
+      "q_facets" -> (ctes +
+        """, matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qt USING (term)),
+          |counts AS (
+          |  SELECT d.lang AS facet, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+          |  WHERE d.lang IS NOT NULL
+          |  GROUP BY 1
+          |), ranked AS (
+          |  SELECT facet, n_docs,
+          |         CAST(row_number() OVER (ORDER BY n_docs DESC, facet ASC) AS INT) AS rank
+          |  FROM counts
+          |)
+          |SELECT facet, n_docs, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // KWIC snippets: exhaustive per-window rescan via list comprehension
+      // (the Spark side's incremental sliding kernel must agree exactly);
+      // DuckDB slices are 1-based inclusive, so an 8-token window at s is
+      // terms[s : s+7]; list_position picks the FIRST max (earliest tie)
+      "q_snippets" -> (ctes +
+        s""", scored AS (
+           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+           |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+           |       JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), cand AS (
+           |  SELECT doc_id FROM scored ORDER BY score_r DESC, doc_id ASC LIMIT 10
+           |), win AS (
+           |  SELECT t.doc_id, t.terms,
+           |         [len(list_distinct(list_filter(t.terms[s : s + 7],
+           |            x -> list_contains(['spark','table','query','vector','zzz_absent'], x))))
+           |          for s in range(1, greatest(len(t.terms) - 7, 1) + 1)] AS cnts
+           |  FROM tok t JOIN cand USING (doc_id)
+           |), best AS (
+           |  SELECT doc_id, terms,
+           |         CAST(list_position(cnts, list_max(cnts)) AS INT) AS start,
+           |         CAST(list_max(cnts) AS INT) AS n_matched
+           |  FROM win
+           |)
+           |SELECT doc_id, start, n_matched,
+           |       array_to_string(terms[start : start + 7], ' ') AS snippet
+           |FROM best""".stripMargin),
+
+      // autocomplete: prefix filter over the dictionary, df-desc rank
+      "q_prefix_suggest" -> (ctes +
+        """, ranked AS (
+          |  SELECT term, df,
+          |         CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
+          |  FROM idf WHERE term LIKE 's%'
+          |)
+          |SELECT term, df, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // fuzzy match: distance-1 vocabulary expansion (distinct union,
+      // q_mult 1 per expanded term) through the shared score expression —
+      // the subquery alias `qt` shadows the fixed-battery qt cte in scope
+      "q_fuzzy_topk" -> (ctes +
+        s""", fq(term) AS (VALUES
+           |    ('sparkk'), ('tble'), ('quary'), ('vectr'), ('zzzzzzz')
+           |), fexp AS (
+           |  SELECT DISTINCT idf.term FROM fq, idf
+           |  WHERE levenshtein(fq.term, idf.term) <= 1
+           |), scored AS (
+           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+           |  FROM tf
+           |       JOIN (SELECT term, CAST(1 AS BIGINT) AS q_mult FROM fexp) qt
+           |         USING (term)
+           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, score_r,
+           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // bool must_not: exclusion restricts candidates (docs holding any
+      // excluded term vanish), full-corpus stats score the survivors
+      "q_bm25_must_not" -> (ctes +
+        s""", mn(term) AS (VALUES ('stream'), ('window')),
+           |excl AS (SELECT DISTINCT doc_id FROM tf JOIN mn USING (term)),
+           |scored AS (
+           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+           |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+           |       JOIN dl ON dl.doc_id = tf.doc_id
+           |  WHERE tf.doc_id NOT IN (SELECT doc_id FROM excl)
+           |  GROUP BY tf.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, score_r,
+           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // sliding-window phrase count over candidates holding both terms;
       // DuckDB arrays are 1-based, range(a,b) is [a,b). The positional-arm

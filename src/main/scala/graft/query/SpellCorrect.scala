@@ -94,6 +94,81 @@ object SpellCorrect {
         col("df"), col("rank"))
   }
 
+  /** Autocomplete / prefix suggest: top-k dictionary terms starting with
+    * `prefix`, ranked by (df desc, term asc). Declarative filter-then-rank:
+    * against a persisted dictionary the prefix predicate pushes down to the
+    * parquet scan (StringStartsWith), orderBy+limit bounds the rows
+    * (TakeOrderedAndProject) before the rank window touches them.
+    */
+  def prefixSuggest(dict: DataFrame, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "SpellCorrect.prefixSuggest: empty prefix")
+    val bounded = dict
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(k)
+    graft.index.InvertedIndex.rankBounded(bounded, length(col("term")),
+      col("df").desc, col("term").asc)
+  }
+
+  /** ES fuzziness=1 expansion set: ALL distinct vocabulary terms within
+    * Levenshtein distance <= 1 of any of `terms` (including the terms
+    * themselves when indexed), sorted asc for a deterministic rewrite
+    * order. Same candidate join as [[suggest]] with the exact levenshtein
+    * predicate deciding; collected to the driver because the result IS the
+    * rewritten query (bounded by the distance-1 neighborhoods — a few
+    * dozen terms — the same driver residency as the query batch itself).
+    *
+    * NOTE on the cap: a deletion index built with the default
+    * [[MaxTermsPerVariant]] can in principle drop a distance-1 neighbor of
+    * a degenerate hot variant; build the index uncapped (Int.MaxValue) if
+    * exhaustive expansion must be guaranteed on adversarial vocabularies.
+    */
+  def expandTerms(spark: SparkSession, terms: Seq[String],
+                  deletionIdx: DataFrame): Seq[String] =
+    expandBatch(spark, Seq(0L -> terms), deletionIdx)
+      .getOrElse(0L, Seq.empty)
+
+  /** Batch form of [[expandTerms]]: ONE Spark job expands every query's
+    * token set (the whole batch's (query_id, token) pairs ride a single
+    * broadcast variant join), returning query_id -> sorted distinct
+    * expansion. Queries with no indexed neighbor are absent from the map.
+    */
+  def expandBatch(spark: SparkSession, queries: Seq[(Long, Seq[String])],
+                  deletionIdx: DataFrame): Map[Long, Seq[String]] = {
+    import spark.implicits._
+    val pairs = queries.flatMap { case (id, ts) => ts.distinct.map(id -> _) }
+    if (pairs.isEmpty) return Map.empty
+    val q = pairs.toDF("query_id", "q_term")
+      .select(col("query_id"), col("q_term"),
+        explode(variantsCol(col("q_term"))).as("variant"))
+    broadcast(q)
+      .join(deletionIdx, Seq("variant"))
+      .filter(levenshtein(col("q_term"), col("term")) <= 1)
+      .select(col("query_id"), col("term")).distinct()
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+  }
+
+  /** Fuzzy (typo-tolerant) BM25 retrieval: rewrite each query's tokens to
+    * their distance-1 vocabulary expansion (distinct union, each expanded
+    * term scoring once with its own idf — the ES `fuzziness: 1` match
+    * shape) and serve the rewrite through the block-max WAND kernel.
+    * Queries whose expansion is empty return no rows (nothing to score).
+    */
+  def fuzzySearch(spark: SparkSession, indexDir: String,
+                  queries: Seq[(Long, String)], k: Int,
+                  deletionIdx: DataFrame): DataFrame = {
+    val tokenized = queries.map { case (id, text) =>
+      id -> graft.tokenize.PyTokenize.split(text).toSeq
+    }
+    val expanded = expandBatch(spark, tokenized, deletionIdx)
+    val rewritten = tokenized.collect {
+      case (id, _) if expanded.contains(id) => id -> expanded(id).mkString(" ")
+    }
+    Wand.search(spark, indexDir, rewritten, k)
+  }
+
   /** One-call form over a tokenized corpus (dictionary + index built
     * inline — serving deployments persist [[deletionIndex]] instead).
     */

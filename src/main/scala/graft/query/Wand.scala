@@ -41,10 +41,17 @@ object Wand {
 
   /** One query prepared for the kernel. `tokens` is the raw token sequence
     * (repeats preserved — each occurrence scores, matching the reference's
-    * per-occurrence loop); `idf` maps each distinct matched term.
+    * per-occurrence loop); `idf` maps each distinct matched term. `mustNot`
+    * is the Elasticsearch bool `must_not` clause: distinct excluded terms
+    * (restricted to the index vocabulary — an unindexed term excludes
+    * nothing), sorted for determinism; a doc containing ANY of them is
+    * barred from the result heap while scoring/stats of surviving docs are
+    * untouched (exclusion restricts candidates, never the formula — the
+    * same contract as the allowlist and minimum_should_match).
     */
   final case class PreparedQuery(queryId: Long, tokens: Array[String],
-                                 idf: Map[String, Double])
+                                 idf: Map[String, Double],
+                                 mustNot: Array[String] = Array.empty)
 
   final case class Hit(query_id: Long, doc_id: Long, score: Double)
 
@@ -54,13 +61,20 @@ object Wand {
     */
   def prepare(spark: SparkSession, indexDir: String,
               queries: Seq[(Long, String)],
-              meta: graft.io.MetaIO = graft.io.LocalMetaIO)
+              meta: graft.io.MetaIO = graft.io.LocalMetaIO,
+              mustNot: Map[Long, String] = Map.empty)
       : (IndexStats, Seq[PreparedQuery]) = {
     val stats = PackedIndex.readStats(indexDir, meta)
     val tokenized = queries.map { case (id, text) =>
       id -> graft.tokenize.PyTokenize.split(text)
     }
-    val allTerms = tokenized.flatMap(_._2).distinct
+    val mustNotTok: Map[Long, Array[String]] = mustNot.map { case (id, text) =>
+      id -> graft.tokenize.PyTokenize.split(text).distinct.sorted
+    }
+    // one df lookup for the union: must_not terms ride the same scan so an
+    // excluded term's vocabulary membership costs no extra job
+    val allTerms =
+      (tokenized.flatMap(_._2) ++ mustNotTok.valuesIterator.flatten).distinct
     val dfMap: Map[String, Long] =
       if (allTerms.isEmpty) Map.empty
       else IndexCache.dfMap(spark, indexDir, meta = meta) match {
@@ -85,7 +99,8 @@ object Wand {
       val idf = toks.distinct.flatMap { t =>
         dfMap.get(t).map(df => t -> stats.idf(df))
       }.toMap
-      PreparedQuery(id, toks, idf)
+      PreparedQuery(id, toks, idf,
+        mustNotTok.getOrElse(id, Array.empty).filter(dfMap.contains))
     }
     (stats, prepared)
   }
@@ -117,9 +132,14 @@ object Wand {
              queries: Seq[(Long, String)], k: Int,
              allowedDocs: Option[Array[Long]] = None,
              meta: graft.io.MetaIO = graft.io.LocalMetaIO,
-             minShouldMatch: Int = 1): DataFrame = {
-    val (stats, prepared) = prepare(spark, indexDir, queries, meta)
-    val terms = prepared.flatMap(_.idf.keys).distinct
+             minShouldMatch: Int = 1,
+             mustNot: Map[Long, String] = Map.empty): DataFrame = {
+    val (stats, prepared) = prepare(spark, indexDir, queries, meta, mustNot)
+    // must_not terms join the pushed-down posting scan: their lists feed
+    // per-query exclusion cursors in the shard kernel (no scoring cursors —
+    // only positive terms carry idf entries)
+    val terms =
+      (prepared.flatMap(_.idf.keys) ++ prepared.flatMap(_.mustNot)).distinct
     import spark.implicits._
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
       .withColumn("rank", lit(1)).limit(0)
@@ -182,10 +202,12 @@ object Wand {
                stagingDir: Option[String] = None,
                allowedDocs: Option[Array[Long]] = None,
                meta: graft.io.MetaIO = graft.io.LocalMetaIO,
-               minShouldMatch: Int = 1): DataFrame =
+               minShouldMatch: Int = 1,
+               mustNot: Map[Long, String] = Map.empty): DataFrame =
     ChunkedServe.serve(spark, queries, chunkSize, io, stagingDir, meta,
       "searchDs") { chunk =>
-      search(spark, indexDir, chunk, k, allowedDocs, meta, minShouldMatch)
+      search(spark, indexDir, chunk, k, allowedDocs, meta, minShouldMatch,
+        mustNot)
     }
 
   // ---- per-shard kernel ------------------------------------------------
@@ -434,8 +456,15 @@ object Wand {
       }.toArray
       if (cursors.isEmpty || cursors.length < minShouldMatch) Iterator.empty
       else {
+        // must_not exclusion cursors: plain posting cursors (idf 0 — they
+        // never score or bound) consulted right before full evaluation.
+        // Evaluated docs are non-decreasing in the WAND loop, so the
+        // forward-only block-skipping seek is sufficient.
+        val excl: Array[Cursor] = q.mustNot.collect {
+          case t if byTerm.contains(t) => new Cursor(t, 0.0, 0.0, byTerm(t))
+        }
         val heap = new TopKHeap(kEff)
-        wandLoop(cursors, q, heap, stats, allowed, denied, minShouldMatch)
+        wandLoop(cursors, q, heap, stats, allowed, denied, minShouldMatch, excl)
         heap.drain().map { case (s, d) => Hit(q.queryId, d, s) }
       }
     }
@@ -466,11 +495,27 @@ object Wand {
     * the earlier sortBy-per-iteration version generated enough garbage to
     * stall 32-thread executors in GC.
     */
+  /** True iff any must_not exclusion cursor's posting list contains `doc`.
+    * Cursors advance monotonically (callers evaluate docs in non-decreasing
+    * order), so each list is walked at most once per query per shard.
+    */
+  private def excludedBy(excl: Array[Cursor], doc: Long): Boolean = {
+    var i = 0
+    while (i < excl.length) {
+      val c = excl(i)
+      if (c.curDoc < doc) c.seek(doc)
+      if (c.curDoc == doc) return true
+      i += 1
+    }
+    false
+  }
+
   private def wandLoop(cursors: Array[Cursor], q: PreparedQuery,
                        heap: TopKHeap, stats: IndexStats,
                        allowed: Array[Long] = null,
                        denied: Array[Long] = null,
-                       minShouldMatch: Int = 1): Unit = {
+                       minShouldMatch: Int = 1,
+                       excl: Array[Cursor] = Array.empty): Unit = {
     val byTerm = new java.util.HashMap[String, Cursor](cursors.length * 2)
     cursors.foreach(c => byTerm.put(c.term, c))
     val arr = new Array[Cursor](cursors.length)
@@ -540,7 +585,8 @@ object Wand {
         // (scoring itself is unchanged for qualifying docs).
         if (aligned >= minShouldMatch && blockAcc >= theta &&
             (denied == null ||
-              java.util.Arrays.binarySearch(denied, pivotDoc) < 0)) {
+              java.util.Arrays.binarySearch(denied, pivotDoc) < 0) &&
+            (excl.length == 0 || !excludedBy(excl, pivotDoc))) {
           val s = evalDoc(pivotDoc, q, byTerm, stats)
           heap.offer(s, pivotDoc)
         }

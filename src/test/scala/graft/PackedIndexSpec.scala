@@ -241,6 +241,50 @@ class PackedIndexSpec extends SparkSpec {
     }
   }
 
+  test("must_not == exhaustive oracle minus docs holding any excluded term") {
+    val docs = randomCorpus(nDocs = 700, vocab = 150, seed = 101)
+    val oracle = new Bm25.Oracle(docs, P)
+    val dir = Files.createTempDirectory("graft-mn").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    val queries: Seq[(Long, String)] = Seq(
+      1L -> "t0 t1 t5 t20", 2L -> "t100 t140 t7", 3L -> "t0 t0 t42")
+    val k = 10
+    // per-query exclusions: a hot term, a pair, an absent term (no-op),
+    // and (query 3) a term that is ALSO a positive term — bool(must=t,
+    // must_not=t) bars every doc containing t, the ES semantics.
+    val mn = Map(1L -> "t2", 2L -> "t0 t1 zz_absent", 3L -> "t42")
+    val got = Wand.search(spark, dir, queries, k, mustNot = mn)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+    queries.foreach { case (qid, text) =>
+      val exclTerms = mn(qid).split(" ")
+      val want = oracle.topK(text.split(" ").toSeq, 0).filter(_._2 != 0.0)
+        .filterNot { case (d, _) => exclTerms.exists(docs(d.toInt).contains) }
+        .take(k)
+      assert(got.getOrElse(qid, Seq.empty) == want, s"must_not broke q$qid")
+      // and the exclusion genuinely changed something for the hot-term cases
+      if (qid != 3L)
+        assert(got(qid) != oracle.topK(text.split(" ").toSeq, k).filter(_._2 != 0.0))
+    }
+    // composes with allowlist + msm (all three restrict candidates only)
+    val allowed = (0L until 700L).filter(_ % 2 == 0).toArray
+    val both = Wand.search(spark, dir, queries, k, Some(allowed),
+      minShouldMatch = 2, mustNot = mn).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSet
+    queries.foreach { case (qid, text) =>
+      val qTerms = text.split(" ").distinct
+      val exclTerms = mn(qid).split(" ")
+      val want = oracle.topK(text.split(" ").toSeq, 0).filter(_._2 != 0.0)
+        .filter { case (d, _) =>
+          d % 2 == 0 && qTerms.count(t => docs(d.toInt).contains(t)) >= 2 &&
+            !exclTerms.exists(docs(d.toInt).contains) }
+        .take(k).map { case (d, s) => (qid, d, s) }.toSet
+      assert(both.filter(_._1 == qid) == want, s"must_not+allow+msm broke q$qid")
+    }
+  }
+
   test("WAND parity under heavy stopword skew (salt/split stress)") {
     // 90% of tokens drawn from 3 stopwords -> giant posting lists
     val rnd = new scala.util.Random(11)

@@ -63,6 +63,54 @@ class SpellCorrectSpec extends SparkSpec {
     assert(got == Seq(("ac", 1), ("ad", 2)))
   }
 
+  test("expandBatch == brute-force levenshtein expansion over the vocab") {
+    val vocab = Seq("spark" -> 10L, "sparks" -> 4L, "stark" -> 2L,
+      "table" -> 20L, "fable" -> 1L, "query" -> 5L, "quarry" -> 3L,
+      "ab" -> 7L, "ba" -> 3L)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val idx = SpellCorrect.deletionIndex(dict(vocab: _*))
+    val queries = Seq(1L -> Seq("sparkk", "quary"), 2L -> Seq("ab"),
+      3L -> Seq("zzzzz"))
+    val got = SpellCorrect.expandBatch(spark, queries, idx)
+    val want = queries.flatMap { case (id, ts) =>
+      val exp = vocab.map(_._1)
+        .filter(v => ts.exists(t => lev(t, v) <= 1)).sorted
+      if (exp.isEmpty) None else Some(id -> exp)
+    }.toMap
+    assert(got == want)
+    // the brute-force expansion is genuinely multi-candidate here
+    assert(want(1L).toSet == Set("spark", "sparks", "query", "quarry"))
+  }
+
+  test("fuzzySearch == WAND search on the expanded rewrite") {
+    val docs = Seq(
+      (0L, "spark table fast"), (1L, "sparks fly high"),
+      (2L, "stark contrast here"), (3L, "query the table"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val tok = graft.index.InvertedIndex.tokenize(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fz").toString
+    graft.index.PackedIndex.build(tok, dir, shardBits = 7, groups = 1,
+      p = graft.core.Bm25Params())
+    val didx = SpellCorrect.deletionIndex(SpellCorrect.dictionary(tok))
+    val got = SpellCorrect.fuzzySearch(spark, dir,
+      Seq(7L -> "sparkk", 8L -> "zzzzzzzz"), k = 10, didx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // expansion of 'sparkk' over this vocab: spark, sparks (lev 1 each)
+    val want = graft.query.Wand.search(spark, dir,
+      Seq(7L -> "spark sparks"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.map(_._2) == Set(0L, 1L)) // docs holding spark or sparks
+    assert(!got.exists(_._1 == 8L))      // no expansion -> no rows
+  }
+
   test("dictionary counts document frequency, not term frequency") {
     val tok = Seq(
       (1L, Seq("x", "x", "y")),
