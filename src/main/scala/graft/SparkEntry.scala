@@ -187,6 +187,25 @@ object SparkEntry {
         minShouldMatch = 3)
     }),
 
+    // Synonym-expanded retrieval (ES synonym filter, query-time): tokens ∪
+    // table synonyms, distinct union at equal weight, through WAND.
+    "q_synonym_topk" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      import s.implicits._
+      graft.query.SpellCorrect.synonymSearch(s, idx, contractQueryBatch,
+        k = 200, Seq("table" -> "row", "query" -> "scan")
+          .toDF("term", "synonym"))
+    }),
+
+    // Query-time per-term boosting (ES `term^boost` / Lucene boost): the
+    // boost scales the term's whole BM25 contribution — folded into the
+    // per-term idf at prepare time so every WAND bound stays valid with no
+    // kernel change. Oracle: the shared score expression with a boost
+    // column joined onto the query terms.
+    "q_bm25_boosted" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      graft.query.Wand.search(s, idx, contractQueryBatch, k = 200,
+        boosts = Map(0L -> Map("table" -> 2.5, "vector" -> 0.5)))
+    }),
+
     // ES terms-aggregation (facets) over the full WAND match set (k = 0 =
     // every doc matching >= 1 query term, ranked): count matched docs per
     // language, top facet values by (count desc, value asc). The
@@ -583,6 +602,46 @@ object SparkEntry {
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
     ) ++ Map(
       "q_bm25_wand_topk" -> bm25TopKOracleSql(ctes),
+
+      // synonym expansion: distinct union of query terms and their table
+      // synonyms, each scoring once at equal weight
+      "q_synonym_topk" -> (ctes +
+        s""", syn(term, synonym) AS (VALUES ('table', 'row'), ('query', 'scan')),
+           |sexp AS (
+           |  SELECT term FROM q
+           |  UNION
+           |  SELECT syn.synonym FROM q JOIN syn USING (term)
+           |), scored AS (
+           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
+           |  FROM tf
+           |       JOIN (SELECT term, CAST(1 AS BIGINT) AS q_mult FROM sexp) qt
+           |         USING (term)
+           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, score_r,
+           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+      // per-term boosts scale each term's whole contribution (linear in
+      // idf); unlisted terms boost 1.0
+      "q_bm25_boosted" -> (ctes +
+        s""", bq(term, boost) AS (VALUES ('table', 2.5), ('vector', 0.5)),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |         round(${ScoreExpr.replace("qt.q_mult",
+                       "(qt.q_mult * coalesce(bq.boost, 1.0))")}, 4) + 0.0 AS score_r
+           |  FROM tf JOIN qt USING (term) LEFT JOIN bq USING (term)
+           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, score_r,
+           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // terms-aggregation facets: the match set is every doc holding >= 1
       // query term (exactly WAND k=0's candidate contract incl. score-0

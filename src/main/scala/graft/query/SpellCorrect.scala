@@ -36,6 +36,117 @@ object SpellCorrect {
     */
   val MaxTermsPerVariant = 1000
 
+  /** Below this many distinct variants in a batch, the variant predicate
+    * is pushed into the persisted deletion-index scan (`variant IN (...)`)
+    * instead of scanning the full table into a broadcast join — with a
+    * [[persistDeletionIndex]]-written (range-clustered, sorted) index the
+    * row-group min/max stats prune everything but the matched cells, so
+    * interactive did-you-mean latency tracks the candidate set, not the
+    * vocabulary. Same rationale and size as Wand.IsinThreshold.
+    */
+  val PushdownVariants = 512
+
+  /** Above this many query terms in one batch, the candidate join switches
+    * from a driver-built broadcast to a shuffle join on the xxhash64 long
+    * keys — the broadcast relation build is serial driver work that grows
+    * with the batch while the shuffle path scales with the cluster.
+    */
+  val BroadcastProbeQueries = 20000L
+
+  /** Driver-side twin of [[variantsCol]] (term + its single-character
+    * deletions, deduplicated) — MUST stay semantically identical; used to
+    * enumerate a small batch's variants for scan pushdown.
+    */
+  private[query] def variantsOf(t: String): Seq[String] =
+    (t +: (1 to t.length).map(i => t.substring(0, i - 1) + t.substring(i)))
+      .distinct
+
+  /** Persist a deletion index range-clustered and sorted by variant so
+    * that [[PushdownVariants]]-sized batches prune row groups via min/max
+    * stats (hash-clustered output from the build window has full-range
+    * min/max per file, which prunes nothing).
+    */
+  def persistDeletionIndex(didx: DataFrame, path: String,
+                           nPartitions: Int = 0): Unit = {
+    val n = if (nPartitions > 0) nPartitions
+    else didx.sparkSession.sparkContext.defaultParallelism * 4
+    didx.repartitionByRange(n, col("variant"))
+      .sortWithinPartitions(col("variant"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Build AND persist in ONE shuffle: explode -> range-partition by
+    * variant -> in-partition sort (variant, df desc, term asc) ->
+    * streaming per-variant cap -> parquet, already range-clustered and
+    * sorted for scan pushdown. Row-identical to
+    * `deletionIndex` + [[persistDeletionIndex]] (pinned in
+    * SpellCorrectSpec) at half the wide passes — the offline-build path
+    * for large vocabularies.
+    */
+  def buildDeletionIndex(dict: DataFrame, path: String,
+                         maxTermsPerVariant: Int = MaxTermsPerVariant,
+                         nPartitions: Int = 0): Unit = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val n = if (nPartitions > 0) nPartitions
+    else spark.sparkContext.defaultParallelism * 4
+    dict
+      .select(col("term"), col("df").cast("long").as("df"),
+        explode(variantsCol(col("term"))).as("variant"))
+      .repartitionByRange(n, col("variant"))
+      .sortWithinPartitions(col("variant"), col("df").desc, col("term").asc)
+      .as[(String, Long, String)]
+      .mapPartitions { it =>
+        // rows arrive grouped by variant in (df desc, term asc) order:
+        // the window cap becomes a streaming counter
+        var cur: String = null
+        var kept = 0
+        it.filter { case (_, _, v) =>
+          if (v != cur) { cur = v; kept = 0 }
+          kept += 1
+          kept <= maxTermsPerVariant
+        }
+      }
+      .toDF("term", "df", "variant")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The deletion-index side of a candidate join, pruned to the batch's
+    * variant set when that set is small enough to push into the scan.
+    */
+  private def prunedIdx(deletionIdx: DataFrame,
+                        variants: Option[Seq[String]]): DataFrame =
+    variants match {
+      case Some(vs) if vs.size <= PushdownVariants =>
+        deletionIdx.filter(col("variant").isin(vs: _*))
+      case _ => deletionIdx
+    }
+
+  /** Broadcast candidate join on `xxhash64(variant)` LONG keys, NOT on the
+    * variant strings. A string-key broadcast join measured a flat ~2.5 s
+    * per 22M-row probe pass in this environment regardless of core count
+    * (and a post-join string-equality filter is folded back into the join
+    * keys by the optimizer's equi-condition extraction, reintroducing it);
+    * the long-key probe runs at scan speed and scales. No string re-check
+    * is needed for correctness: the variant join is PURE PRUNING — a hash
+    * collision only adds a spurious candidate pair, and every candidate
+    * passes the exact `levenshtein` predicate downstream, which alone
+    * decides membership (a collision pair within distance 1 is a genuine
+    * result; one outside is filtered like any other overmatch).
+    */
+  private[graft] def hashProbeJoin(q: DataFrame, idx: DataFrame,
+                                   useBroadcast: Boolean): DataFrame = {
+    val qh = q.withColumn("__vh", xxhash64(col("variant"))).drop("variant")
+    val ih = idx.withColumn("__vh", xxhash64(col("variant")))
+    // huge batches skip the broadcast: the hashed relation is built
+    // SERIALLY on the driver and shipped whole to every executor, so past
+    // [[BroadcastProbeQueries]] a shuffle join on the same long keys
+    // scales with the cluster instead (the Ann.ivfTopKKernel fallback
+    // pattern)
+    if (useBroadcast) ih.join(broadcast(qh), Seq("__vh")).drop("__vh")
+    else ih.join(qh, Seq("__vh")).drop("__vh")
+  }
+
   /** All single-character deletion variants of `term` plus the term
     * itself, as a deduplicated array column.
     */
@@ -55,8 +166,12 @@ object SpellCorrect {
     val exploded = dict
       .select(col("term"), col("df").cast("long").as("df"),
         explode(variantsCol(col("term"))).as("variant"))
+    // leading xxhash64 key: grouping by (hash, variant) is equivalent to
+    // grouping by variant (the hash is a function of it), but the window
+    // sort then leads with long compares instead of string compares —
+    // measured ~2x on the 22M-row build at 2M vocab
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("variant"))
+      .partitionBy(xxhash64(col("variant")), col("variant"))
       .orderBy(col("df").desc, col("term").asc)
     exploded
       .withColumn("__r", row_number().over(w))
@@ -76,11 +191,24 @@ object SpellCorrect {
     * exact levenshtein predicate decides.
     */
   def suggest(queries: DataFrame, deletionIdx: DataFrame, k: Int): DataFrame = {
+    // small batch -> enumerate its variants driver-side and push them into
+    // the index scan (one cheap bounded job on the tiny query frame)
+    val nq = queries.count()
+    val probeTerms =
+      if (nq > PushdownVariants) Seq.empty
+      else queries.select(col("term")).distinct()
+        .collect().map(_.getString(0)).toSeq
+    val variants: Option[Seq[String]] =
+      if (probeTerms.isEmpty || probeTerms.size > PushdownVariants) None
+      else {
+        val vs = probeTerms.flatMap(variantsOf).distinct
+        if (vs.size <= PushdownVariants) Some(vs) else None
+      }
     val q = queries
       .select(col("query_id"), col("term").as("q_term"),
         explode(variantsCol(col("term"))).as("variant"))
-    val cand = broadcast(q)
-      .join(deletionIdx, Seq("variant"))
+    val cand = hashProbeJoin(q, prunedIdx(deletionIdx, variants),
+      useBroadcast = nq <= BroadcastProbeQueries)
       .select(col("query_id"), col("q_term"), col("term"), col("df"))
       .distinct()
       .filter(levenshtein(col("q_term"), col("term")) <= 1)
@@ -138,11 +266,14 @@ object SpellCorrect {
     import spark.implicits._
     val pairs = queries.flatMap { case (id, ts) => ts.distinct.map(id -> _) }
     if (pairs.isEmpty) return Map.empty
+    // the batch is already driver-resident: enumerate variants directly
+    val vs = pairs.map(_._2).distinct.flatMap(variantsOf).distinct
     val q = pairs.toDF("query_id", "q_term")
       .select(col("query_id"), col("q_term"),
         explode(variantsCol(col("q_term"))).as("variant"))
-    broadcast(q)
-      .join(deletionIdx, Seq("variant"))
+    hashProbeJoin(q, prunedIdx(deletionIdx,
+        if (vs.size <= PushdownVariants) Some(vs) else None),
+        useBroadcast = pairs.size <= BroadcastProbeQueries)
       .filter(levenshtein(col("q_term"), col("term")) <= 1)
       .select(col("query_id"), col("term")).distinct()
       .collect()
@@ -166,6 +297,37 @@ object SpellCorrect {
     val rewritten = tokenized.collect {
       case (id, _) if expanded.contains(id) => id -> expanded(id).mkString(" ")
     }
+    Wand.search(spark, indexDir, rewritten, k)
+  }
+
+  /** Synonym-expanded retrieval (ES synonym-filter shape, query-time):
+    * each query's token set is rewritten to tokens ∪ their synonyms from a
+    * (term, synonym) table — distinct union, every expanded term scoring
+    * once with its own idf, equal weight (the analyzer-equivalence
+    * semantics) — and served through the WAND kernel. ONE broadcast join
+    * expands the whole batch; the synonym table is broadcast (query-side
+    * rows are tiny) while at scale a persisted table's `term IN` predicate
+    * pushes to its scan.
+    */
+  def synonymSearch(spark: SparkSession, indexDir: String,
+                    queries: Seq[(Long, String)], k: Int,
+                    synonyms: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tokenized = queries.map { case (id, text) =>
+      id -> graft.tokenize.PyTokenize.split(text).toSeq
+    }
+    val pairs = tokenized.flatMap { case (id, ts) => ts.distinct.map(id -> _) }
+    val syn: Map[Long, Seq[String]] =
+      if (pairs.isEmpty) Map.empty
+      else broadcast(pairs.toDF("query_id", "q_term"))
+        .join(synonyms.select(col("term").as("q_term"), col("synonym")), "q_term")
+        .select(col("query_id"), col("synonym")).distinct()
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val rewritten = tokenized.map { case (id, ts) =>
+      id -> (ts ++ syn.getOrElse(id, Seq.empty)).distinct.sorted.mkString(" ")
+    }.filter(_._2.nonEmpty)
     Wand.search(spark, indexDir, rewritten, k)
   }
 

@@ -62,7 +62,8 @@ object Wand {
   def prepare(spark: SparkSession, indexDir: String,
               queries: Seq[(Long, String)],
               meta: graft.io.MetaIO = graft.io.LocalMetaIO,
-              mustNot: Map[Long, String] = Map.empty)
+              mustNot: Map[Long, String] = Map.empty,
+              boosts: Map[Long, Map[String, Double]] = Map.empty)
       : (IndexStats, Seq[PreparedQuery]) = {
     val stats = PackedIndex.readStats(indexDir, meta)
     val tokenized = queries.map { case (id, text) =>
@@ -70,6 +71,13 @@ object Wand {
     }
     val mustNotTok: Map[Long, Array[String]] = mustNot.map { case (id, text) =>
       id -> graft.tokenize.PyTokenize.split(text).distinct.sorted
+    }
+    boosts.foreach { case (id, bs) =>
+      bs.foreach { case (t, b) =>
+        require(b > 0 && !b.isInfinite,
+          s"Wand.prepare: boost for query $id term '$t' must be finite " +
+            s"positive (got $b)")
+      }
     }
     // one df lookup for the union: must_not terms ride the same scan so an
     // excluded term's vocabulary membership costs no extra job
@@ -96,8 +104,14 @@ object Wand {
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
     val prepared = tokenized.map { case (id, toks) =>
+      // Query-time term boost (ES `term^boost` / Lucene boost semantics):
+      // the boost scales the term's whole BM25 contribution, which is
+      // linear in idf — so folding it into the per-term idf up front keeps
+      // every downstream bound (weightedIdf, listBound, blockUb) valid
+      // without kernel changes, exactly like occurrence multiplicity.
+      val qBoosts = boosts.getOrElse(id, Map.empty)
       val idf = toks.distinct.flatMap { t =>
-        dfMap.get(t).map(df => t -> stats.idf(df))
+        dfMap.get(t).map(df => t -> stats.idf(df) * qBoosts.getOrElse(t, 1.0))
       }.toMap
       PreparedQuery(id, toks, idf,
         mustNotTok.getOrElse(id, Array.empty).filter(dfMap.contains))
@@ -133,8 +147,10 @@ object Wand {
              allowedDocs: Option[Array[Long]] = None,
              meta: graft.io.MetaIO = graft.io.LocalMetaIO,
              minShouldMatch: Int = 1,
-             mustNot: Map[Long, String] = Map.empty): DataFrame = {
-    val (stats, prepared) = prepare(spark, indexDir, queries, meta, mustNot)
+             mustNot: Map[Long, String] = Map.empty,
+             boosts: Map[Long, Map[String, Double]] = Map.empty): DataFrame = {
+    val (stats, prepared) =
+      prepare(spark, indexDir, queries, meta, mustNot, boosts)
     // must_not terms join the pushed-down posting scan: their lists feed
     // per-query exclusion cursors in the shard kernel (no scoring cursors —
     // only positive terms carry idf entries)

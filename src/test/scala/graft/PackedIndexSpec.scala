@@ -285,6 +285,56 @@ class PackedIndexSpec extends SparkSpec {
     }
   }
 
+  test("per-term boosts == token-order scoring with boost-scaled idf") {
+    val docs = randomCorpus(nDocs = 600, vocab = 120, seed = 131)
+    val oracle = new Bm25.Oracle(docs, P)
+    val dir = Files.createTempDirectory("graft-boost").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    val queries: Seq[(Long, String)] = Seq(
+      1L -> "t0 t1 t5", 2L -> "t100 t7 t3", 3L -> "t0 t0 t42")
+    val boosts = Map(
+      1L -> Map("t0" -> 2.5, "t5" -> 0.25),
+      2L -> Map("t7" -> 10.0),
+      3L -> Map("t0" -> 0.5)) // boosts a REPEATED token (each occurrence)
+    val k = 10
+    // expected: evalDoc's exact accumulation order (original token order,
+    // one addition per occurrence) with idf scaled by the boost
+    def want(text: String, bs: Map[String, Double]): Seq[(Long, Double)] = {
+      val toks = text.split(" ").toSeq
+      docs.indices.map { i =>
+        var s = 0.0
+        toks.foreach { t =>
+          val cnt = docs(i).count(_ == t).toLong
+          if (cnt > 0L)
+            s += Bm25.termScore(oracle.idf(t) * bs.getOrElse(t, 1.0),
+              cnt, docs(i).length.toLong, oracle.avgdl, P)
+        }
+        (i.toLong, s)
+      }.filter(_._2 != 0.0).sortBy { case (d, s) => (-s, d) }.take(k)
+    }
+    val got = Wand.search(spark, dir, queries, k, boosts = boosts)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq).toMap
+    queries.foreach { case (qid, text) =>
+      assert(got(qid) == want(text, boosts(qid)), s"boosts broke q$qid")
+      // boosting genuinely reordered vs unboosted
+      assert(got(qid) != want(text, Map.empty), s"boost was a no-op for q$qid")
+    }
+    // all-1.0 boosts are bitwise identical to the unboosted path
+    val unit = Wand.search(spark, dir, queries, k,
+      boosts = queries.map { case (id, t) =>
+        id -> t.split(" ").map(_ -> 1.0).toMap }.toMap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Wand.search(spark, dir, queries, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(unit == plain)
+    // invalid boosts fail loudly
+    intercept[IllegalArgumentException] {
+      Wand.prepare(spark, dir, queries, boosts = Map(1L -> Map("t0" -> 0.0)))
+    }
+  }
+
   test("WAND parity under heavy stopword skew (salt/split stress)") {
     // 90% of tokens drawn from 3 stopwords -> giant posting lists
     val rnd = new scala.util.Random(11)

@@ -111,6 +111,67 @@ class SpellCorrectSpec extends SparkSpec {
     assert(!got.exists(_._1 == 8L))      // no expansion -> no rows
   }
 
+  test("synonymSearch == WAND search on the unioned rewrite") {
+    val docs = Seq(
+      (0L, "spark table fast"), (1L, "flame engine here"),
+      (2L, "query the table"), (3L, "nothing relevant")).toDF("doc_id", "text")
+    val tok = graft.index.InvertedIndex.tokenize(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-syn").toString
+    graft.index.PackedIndex.build(tok, dir, shardBits = 7, groups = 1,
+      p = graft.core.Bm25Params())
+    val syn = Seq("spark" -> "flame", "absent" -> "engine")
+      .toDF("term", "synonym")
+    val got = SpellCorrect.synonymSearch(spark, dir,
+      Seq(5L -> "spark spark", 6L -> "table"), k = 10, syn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // q5: tokens {spark} + synonym flame -> "flame spark"; the repeated
+    // token collapses (distinct union, each expanded term scores once).
+    // q6: no synonym entry -> plain "table".
+    val want = graft.query.Wand.search(spark, dir,
+      Seq(5L -> "flame spark", 6L -> "table"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.filter(_._1 == 5L).map(_._2) == Set(0L, 1L))
+  }
+
+  test("shuffle-join candidate path == broadcast path (big-batch fallback)") {
+    val d = dict("spark" -> 10L, "sparks" -> 4L, "table" -> 20L, "ab" -> 7L)
+    val idx = SpellCorrect.deletionIndex(d)
+    val q = Seq((1L, "sparkk"), (2L, "tble"), (3L, "ab")).toDF("query_id", "term")
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("term").as("q_term"),
+        org.apache.spark.sql.functions.expr(
+          "explode(array_distinct(concat(array(term), transform(sequence(1, length(term)), i -> concat(substring(term, 1, i - 1), substring(term, i + 1))))))").as("variant"))
+    def rows(useBroadcast: Boolean) =
+      graft.query.SpellCorrect.hashProbeJoin(q, idx, useBroadcast)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[String]("q_term"),
+          r.getAs[String]("term"), r.getAs[Long]("df"))).toSet
+    val b = rows(useBroadcast = true)
+    val s = rows(useBroadcast = false)
+    assert(b == s)
+    assert(b.nonEmpty)
+  }
+
+  test("fused buildDeletionIndex == window deletionIndex + persist (rows)") {
+    val rnd = new scala.util.Random(77)
+    val vocab = (0 until 400).map(i => s"w${rnd.nextInt(90)}x$i" -> rnd.nextInt(50).toLong)
+    val d = dict(vocab: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx").toString
+    SpellCorrect.buildDeletionIndex(d, s"$dir/fused", maxTermsPerVariant = 3)
+    SpellCorrect.persistDeletionIndex(
+      SpellCorrect.deletionIndex(d, maxTermsPerVariant = 3), s"$dir/window")
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val fused = rows(s"$dir/fused")
+    val window = rows(s"$dir/window")
+    assert(fused == window)
+    assert(fused.nonEmpty)
+    // and the capped cells kept the top-df terms in both forms
+    val hot = spark.read.parquet(s"$dir/fused")
+      .groupBy(col("variant")).count().agg(max(col("count"))).first().getLong(0)
+    assert(hot <= 3)
+  }
+
   test("dictionary counts document frequency, not term frequency") {
     val tok = Seq(
       (1L, Seq("x", "x", "y")),
