@@ -385,6 +385,27 @@ object SparkEntry {
           round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
     }),
 
+    // Typo-robust serving stack: the SAME typo'd query batch through the
+    // exact WAND retriever (the unknown token drops out) AND the fuzzy
+    // retriever (distance-1 expansion recovers it), fused with RRF — the
+    // ensemble shape a production search box runs. Both members ride the
+    // rounded-rank adapter so the fusion is SQL-replicable.
+    "q_ensemble_fuzzy" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ensfz").toString
+      val tok = DocsCorpus.tokenized(s, dir)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      val didx = graft.query.SpellCorrect.deletionIndex(
+        graft.query.SpellCorrect.dictionary(tok))
+      val bm25 = new graft.query.RoundedRankRetriever(
+        new graft.query.Bm25WandRetriever(idxDir), digits = 4, overfetch = 200)
+      val fuzzy = new graft.query.RoundedRankRetriever(
+        new graft.query.FuzzyRetriever(idxDir, didx), digits = 4, overfetch = 200)
+      new graft.query.EnsembleRetriever(Seq(bm25 -> 1.0, fuzzy -> 1.0))
+        .search(s, Seq(0L -> "tble scan"), 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
+    }),
+
     // Spell correction / did-you-mean over the corpus vocabulary:
     // SymSpell-shaped deletion-variant join for candidate pruning, exact
     // codegen'd levenshtein as the semantic predicate, df-ranked top-5.
@@ -602,6 +623,44 @@ object SparkEntry {
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
     ) ++ Map(
       "q_bm25_wand_topk" -> bm25TopKOracleSql(ctes),
+
+      // exact + fuzzy RRF over the same typo'd batch: the exact member's
+      // unknown token drops out, the fuzzy member recovers it via
+      // distance-1 expansion; both rank lists fused by 1/(60+rank)
+      "q_ensemble_fuzzy" -> (ctes +
+        s""", q3(term) AS (VALUES ('tble'), ('scan')),
+           |qt3 AS (SELECT term, CAST(count(*) AS BIGINT) AS q_mult FROM q3 GROUP BY 1),
+           |bm AS (
+           |  SELECT tf.doc_id, round(${ScoreExpr.replace("qt.", "qt3.")}, 4) + 0.0 AS score_r
+           |  FROM tf JOIN qt3 USING (term) JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), bmr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+           |  FROM bm
+           |), fexp2 AS (
+           |  SELECT DISTINCT idf.term FROM q3, idf
+           |  WHERE levenshtein(q3.term, idf.term) <= 1
+           |), fz AS (
+           |  SELECT tf.doc_id, round(${ScoreExpr.replace("qt.", "qt4.")}, 4) + 0.0 AS score_r
+           |  FROM tf
+           |       JOIN (SELECT term, CAST(1 AS BIGINT) AS q_mult FROM fexp2) qt4
+           |         USING (term)
+           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), fzr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+           |  FROM fz
+           |), fused AS (
+           |  SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf_score
+           |  FROM (SELECT doc_id, rank FROM bmr WHERE rank <= 10
+           |        UNION ALL SELECT doc_id, rank FROM fzr WHERE rank <= 10) u
+           |  GROUP BY 1
+           |), ranked AS (
+           |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+           |         round(rrf_score, 6) + 0.0 AS rrf_r,
+           |         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+           |  FROM fused)
+           |SELECT query_id, doc_id, rrf_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // synonym expansion: distinct union of query terms and their table
       // synonyms, each scoring once at equal weight

@@ -62,6 +62,20 @@ final class PositionalRetriever(indexDir: String,
       queries.map { case (id, text) => id -> mode.parse(text) }, k)
 }
 
+/** Typo-tolerant lexical retriever (ES `fuzziness: 1` match): queries are
+  * rewritten to their distance-1 vocabulary expansion through a persisted
+  * SymSpell deletion index and served via the WAND kernel
+  * ([[SpellCorrect.fuzzySearch]]). Slots into ensembles like any other
+  * member — a fuzzy + exact RRF fusion is the classic typo-robust serving
+  * stack.
+  */
+final class FuzzyRetriever(indexDir: String, deletionIdx: DataFrame)
+    extends Retriever {
+  override def search(spark: SparkSession, queries: Seq[(Long, String)],
+                      k: Int): DataFrame =
+    SpellCorrect.fuzzySearch(spark, indexDir, queries, k, deletionIdx)
+}
+
 /** Rank-stability adapter: re-ranks an inner retriever's hits on the score
   * ROUNDED to `digits` decimal places (ties broken doc_id asc), fetching
   * `overfetch` raw hits per query so near-ties at the k boundary are

@@ -76,6 +76,28 @@ class RetrieverSpec extends SparkSpec {
     assert(seqHits.nonEmpty)
   }
 
+  test("FuzzyRetriever == fuzzySearch; typo'd ensemble recovers exact docs") {
+    val docs = Seq(
+      (0L, "spark table fast"), (1L, "table scan here"),
+      (2L, "scan the spark"), (3L, "nothing relevant")).toDF("doc_id", "text")
+    val tok = graft.index.InvertedIndex.tokenize(docs, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft-fzr").toString
+    graft.index.PackedIndex.build(tok, dir, shardBits = 7, groups = 1,
+      p = graft.core.Bm25Params())
+    val didx = graft.query.SpellCorrect.deletionIndex(
+      graft.query.SpellCorrect.dictionary(tok))
+    val queries = Seq(9L -> "tble scan")
+    val viaRetriever = new graft.query.FuzzyRetriever(dir, didx)
+      .search(spark, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = graft.query.SpellCorrect.fuzzySearch(
+      spark, dir, queries, 10, didx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaRetriever == direct && viaRetriever.nonEmpty)
+    // 'tble' expands to 'table': docs holding table or scan all retrieved
+    assert(viaRetriever.map(_._2) == Set(0L, 1L, 2L))
+  }
+
   test("NearMode.parse dedupes repeated tokens instead of failing the batch") {
     val q = graft.query.PositionalMode.NearMode(slop = 4).parse("big big data")
     assert(q == graft.query.PositionalQuery.NearMatch(Seq("big", "data"), 4))
