@@ -385,6 +385,18 @@ object SparkEntry {
           round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
     }),
 
+    // more_like_this (ES MLT): document 42 as the query — its top-25
+    // terms by ROUNDED tf·idf (ties term asc) served through WAND; the
+    // source doc naturally ranks first. Oracle replicates the selection
+    // (same rounding) and the shared exhaustive score expression.
+    "q_mlt_topk" -> ((s, dir) => wandContractTopK(s, dir) { idx =>
+      val docText = DocsCorpus.documents(s, dir)
+        .filter(col("doc_id") === 42L).select(col("text"))
+        .first().getString(0)
+      graft.query.MoreLikeThis.search(s, idx, Seq(0L -> docText),
+        maxTerms = 25, k = 200)
+    }),
+
     // Typo-robust serving stack: the SAME typo'd query batch through the
     // exact WAND retriever (the unknown token drops out) AND the fuzzy
     // retriever (distance-1 expansion recovers it), fused with RRF — the
@@ -623,6 +635,30 @@ object SparkEntry {
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
     ) ++ Map(
       "q_bm25_wand_topk" -> bm25TopKOracleSql(ctes),
+
+      // more_like_this: doc 42's top-25 terms by round(tf*idf, 6) (ties
+      // term asc), each scoring once through the shared expression
+      "q_mlt_topk" -> (ctes +
+        s""", mlt_tf AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT unnest(terms) AS term FROM tok WHERE doc_id = 42)
+           |  GROUP BY 1
+           |), mlt_sel AS (
+           |  SELECT mlt_tf.term FROM mlt_tf JOIN idf USING (term)
+           |  ORDER BY round(mlt_tf.tf * idf.idf, 6) + 0.0 DESC, term ASC LIMIT 25
+           |), scored AS (
+           |  SELECT tf.doc_id, round(${ScoreExpr.replace("qt.", "qt5.")}, 4) + 0.0 AS score_r
+           |  FROM tf
+           |       JOIN (SELECT term, CAST(1 AS BIGINT) AS q_mult FROM mlt_sel) qt5
+           |         USING (term)
+           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY tf.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, score_r,
+           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
       // exact + fuzzy RRF over the same typo'd batch: the exact member's
       // unknown token drops out, the fuzzy member recovers it via

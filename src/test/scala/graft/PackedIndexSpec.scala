@@ -335,6 +335,33 @@ class PackedIndexSpec extends SparkSpec {
     }
   }
 
+  test("more_like_this == WAND on the doc's top rounded-tf-idf terms") {
+    val docs = randomCorpus(nDocs = 400, vocab = 80, seed = 151)
+    val oracle = new Bm25.Oracle(docs, P)
+    val dir = Files.createTempDirectory("graft-mlt").toString
+    buildIndex(docs, dir, shardBits = 7, groups = 2)
+    val src = 7
+    val text = docs(src).mkString(" ")
+    // expected selection: distinct terms ranked by round(tf*idf, 6) desc,
+    // term asc — the operator's documented determinism contract
+    val tf = docs(src).groupBy(identity).map { case (t, a) => t -> a.length }
+    val sel = tf.keys.toSeq
+      .map { t => t -> BigDecimal(tf(t).toDouble * oracle.idf(t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+      .sortBy { case (t, w) => (-w, t) }.take(5).map(_._1)
+    val got = graft.query.MoreLikeThis.search(spark, dir,
+      Seq(3L -> text), maxTerms = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = Wand.search(spark, dir, Seq(3L -> sel.sorted.mkString(" ")), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // the source document is retrieved by its own top terms
+    assert(got.exists(_._2 == src.toLong))
+    // a doc with no indexed vocabulary yields no rows, not a crash
+    assert(graft.query.MoreLikeThis.search(spark, dir,
+      Seq(4L -> "zz_only absent_terms"), maxTerms = 5, k = 10).count() == 0)
+  }
+
   test("WAND parity under heavy stopword skew (salt/split stress)") {
     // 90% of tokens drawn from 3 stopwords -> giant posting lists
     val rnd = new scala.util.Random(11)
