@@ -112,6 +112,24 @@ class PlanHygieneSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("persisted dictionary: prefix suggest pushes StartsWith; small-batch " +
+       "spell suggest pushes the variant IN list") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-plan-dict").toString
+    Seq(("spark", 10L), ("scan", 9L), ("table", 8L))
+      .toDF("term", "df").write.parquet(s"$d/dict")
+    val dict = spark.read.parquet(s"$d/dict")
+    val prefixPlan = graft.query.SpellCorrect.prefixSuggest(dict, "sp", 5)
+      .queryExecution.executedPlan.toString
+    assert(prefixPlan.contains("StringStartsWith(term,sp)"), prefixPlan.take(800))
+    graft.query.SpellCorrect.buildDeletionIndex(dict, s"$d/didx")
+    val didx = spark.read.parquet(s"$d/didx")
+    val suggestPlan = graft.query.SpellCorrect.suggest(
+      Seq((1L, "sparkk")).toDF("query_id", "term"), didx, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(suggestPlan.contains("In(variant"), suggestPlan.take(1200))
+  }
+
   test("tokenize paths carry no UDF node — native expression only") {
     // The Python-parity tokenizer must reach plans ONLY as the codegen'd
     // Catalyst expression (plans/PyWsTokenize); a Scala UDF here would
