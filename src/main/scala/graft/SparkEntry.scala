@@ -385,6 +385,20 @@ object SparkEntry {
           round(col("rrf_score"), 6).as("rrf_r"), col("rank"))
     }),
 
+    // Full-query did-you-mean collation: known tokens kept, unknown
+    // tokens replaced by their best distance-1 suggestion (df desc, term
+    // asc), no-candidate tokens unchanged. Oracle: per-token correlated
+    // levenshtein rewrite re-assembled with string_agg ORDER BY pos.
+    "q_did_you_mean" -> ((s, dir) => {
+      val tok = DocsCorpus.tokenized(s, dir)
+      val didx = graft.query.SpellCorrect.deletionIndex(
+        graft.query.SpellCorrect.dictionary(tok))
+      graft.query.SpellCorrect.didYouMean(s, Seq(
+        1L -> "sparkk tble data",
+        2L -> "quary of zzqqxx",
+        3L -> "spark table"), didx)
+    }),
+
     // more_like_this (ES MLT): document 42 as the query — its top-25
     // terms by ROUNDED tf·idf (ties term asc) served through WAND; the
     // source doc naturally ranks first. Oracle replicates the selection
@@ -635,6 +649,30 @@ object SparkEntry {
              |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin)
     ) ++ Map(
       "q_bm25_wand_topk" -> bm25TopKOracleSql(ctes),
+
+      // did-you-mean collation: keep known tokens, replace unknown ones
+      // with the top distance-1 suggestion, keep uncorrectable ones
+      "q_did_you_mean" -> (ctes +
+        """, dq(query_id, pos, tok) AS (VALUES
+          |    (CAST(1 AS BIGINT), 1, 'sparkk'), (CAST(1 AS BIGINT), 2, 'tble'),
+          |    (CAST(1 AS BIGINT), 3, 'data'),
+          |    (CAST(2 AS BIGINT), 1, 'quary'), (CAST(2 AS BIGINT), 2, 'of'),
+          |    (CAST(2 AS BIGINT), 3, 'zzqqxx'),
+          |    (CAST(3 AS BIGINT), 1, 'spark'), (CAST(3 AS BIGINT), 2, 'table')
+          |), corr AS (
+          |  SELECT query_id, pos, tok,
+          |         CASE WHEN EXISTS (SELECT 1 FROM idf WHERE idf.term = dq.tok)
+          |              THEN tok
+          |              ELSE coalesce(
+          |                (SELECT idf.term FROM idf
+          |                 WHERE levenshtein(dq.tok, idf.term) <= 1
+          |                 ORDER BY idf.df DESC, idf.term ASC LIMIT 1), tok)
+          |         END AS ctok
+          |  FROM dq
+          |)
+          |SELECT query_id, string_agg(ctok, ' ' ORDER BY pos) AS corrected,
+          |       CAST(sum(CASE WHEN ctok <> tok THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected
+          |FROM corr GROUP BY query_id""".stripMargin),
 
       // more_like_this: doc 42's top-25 terms by round(tf*idf, 6) (ties
       // term asc), each scoring once through the shared expression

@@ -331,6 +331,54 @@ object SpellCorrect {
     Wand.search(spark, indexDir, rewritten, k)
   }
 
+  /** Full-query did-you-mean collation (the ES phrase-suggester-lite
+    * shape): each token KNOWN to the dictionary is kept verbatim; each
+    * unknown token is replaced by its best distance-1 suggestion (df desc,
+    * term asc); an unknown token with no candidate stays unchanged. ONE
+    * candidate job covers the whole batch; output is
+    * (query_id, corrected, n_corrected) with the corrected query
+    * whitespace-normalized to single spaces (it is a REWRITE for re-search,
+    * not a diff of the original string).
+    *
+    * Known-ness is read from the deletion index's self-variant row, so on
+    * degenerate vocabularies a low-df known token whose self-variant cell
+    * overflowed [[MaxTermsPerVariant]] can be treated as unknown — the
+    * same documented cap semantics as [[suggest]].
+    */
+  def didYouMean(spark: SparkSession, queries: Seq[(Long, String)],
+                 deletionIdx: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tokenized = queries.map { case (id, text) =>
+      id -> graft.tokenize.PyTokenize.split(text).toSeq
+    }
+    val toks = tokenized.flatMap(_._2).distinct
+    val cand: Map[String, Seq[(String, Long)]] =
+      if (toks.isEmpty) Map.empty
+      else {
+        val vs = toks.flatMap(variantsOf).distinct
+        val q = toks.toDF("q_term")
+          .select(col("q_term"), explode(variantsCol(col("q_term"))).as("variant"))
+        hashProbeJoin(q,
+          prunedIdx(deletionIdx,
+            if (vs.size <= PushdownVariants) Some(vs) else None),
+          useBroadcast = toks.size <= BroadcastProbeQueries)
+          .filter(levenshtein(col("q_term"), col("term")) <= 1)
+          .select(col("q_term"), col("term"), col("df")).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      }
+    tokenized.map { case (id, ts) =>
+      val corrected = ts.map { t =>
+        val cs = cand.getOrElse(t, Seq.empty)
+        if (cs.exists(_._1 == t)) t
+        else cs.sortBy { case (term, df) => (-df, term) }
+          .headOption.map(_._1).getOrElse(t)
+      }
+      (id, corrected.mkString(" "),
+        corrected.zip(ts).count { case (c, o) => c != o }.toLong)
+    }.toDF("query_id", "corrected", "n_corrected")
+  }
+
   /** One-call form over a tokenized corpus (dictionary + index built
     * inline — serving deployments persist [[deletionIndex]] instead).
     */

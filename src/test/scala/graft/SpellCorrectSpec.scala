@@ -152,6 +152,21 @@ class SpellCorrectSpec extends SparkSpec {
     assert(b.nonEmpty)
   }
 
+  test("didYouMean keeps known tokens, corrects unknown, leaves hopeless") {
+    val d = dict("spark" -> 10L, "sparks" -> 4L, "table" -> 20L, "data" -> 5L)
+    val idx = SpellCorrect.deletionIndex(d)
+    val got = SpellCorrect.didYouMean(spark,
+      Seq(1L -> "sparkk tble data", 2L -> "zzzqq spark"), idx)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // sparkk -> spark (df 10 beats sparks 4), tble -> table, data known;
+    // zzzqq has no distance-1 candidate and stays
+    assert(got == Set((1L, "spark table data", 2L), (2L, "zzzqq spark", 0L)))
+    // a KNOWN token is never "corrected" to a higher-df neighbor
+    val known = SpellCorrect.didYouMean(spark, Seq(3L -> "sparks"), idx)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(known == Seq(("sparks", 0L)))
+  }
+
   test("fused buildDeletionIndex == window deletionIndex + persist (rows)") {
     val rnd = new scala.util.Random(77)
     val vocab = (0 until 400).map(i => s"w${rnd.nextInt(90)}x$i" -> rnd.nextInt(50).toLong)
