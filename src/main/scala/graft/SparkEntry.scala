@@ -582,6 +582,28 @@ object SparkEntry {
     * given corpus-cte prefix — shared by the raw-table and multi-format
     * ingest queries so the ranking contract is stated once.
     */
+  /** The same top-10 tail over a CUSTOM query-term source: `qtSelect`
+    * must yield (term, q_mult) and joins as alias qtx; `extraWhere`
+    * (e.g. a NOT IN exclusion) lands between the joins and the GROUP BY.
+    * Keeps the rounding/tie-break contract stated once for every
+    * rewrite-family oracle (fuzzy/synonym/boost/must_not/MLT).
+    */
+  private def topKTailSql(qtSelect: String, extraWhere: String = ""): String = {
+    val where = if (extraWhere.isEmpty) "" else s"  $extraWhere\n"
+    s""", scored AS (
+       |  SELECT tf.doc_id, round(${ScoreExpr.replace("qt.", "qtx.")}, 4) + 0.0 AS score_r
+       |  FROM tf
+       |       JOIN ($qtSelect) qtx USING (term)
+       |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       |$where  GROUP BY tf.doc_id
+       |), ranked AS (
+       |  SELECT doc_id, score_r,
+       |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   private[graft] def bm25TopKOracleSql(ctes: String): String =
     ctes +
       s""", scored AS (
@@ -677,26 +699,15 @@ object SparkEntry {
       // more_like_this: doc 42's top-25 terms by round(tf*idf, 6) (ties
       // term asc), each scoring once through the shared expression
       "q_mlt_topk" -> (ctes +
-        s""", mlt_tf AS (
-           |  SELECT term, CAST(count(*) AS BIGINT) AS tf
-           |  FROM (SELECT unnest(terms) AS term FROM tok WHERE doc_id = 42)
-           |  GROUP BY 1
-           |), mlt_sel AS (
-           |  SELECT mlt_tf.term FROM mlt_tf JOIN idf USING (term)
-           |  ORDER BY round(mlt_tf.tf * idf.idf, 6) + 0.0 DESC, term ASC LIMIT 25
-           |), scored AS (
-           |  SELECT tf.doc_id, round(${ScoreExpr.replace("qt.", "qt5.")}, 4) + 0.0 AS score_r
-           |  FROM tf
-           |       JOIN (SELECT term, CAST(1 AS BIGINT) AS q_mult FROM mlt_sel) qt5
-           |         USING (term)
-           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-           |  GROUP BY tf.doc_id
-           |), ranked AS (
-           |  SELECT doc_id, score_r,
-           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
-           |  FROM scored
-           |)
-           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+        """, mlt_tf AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT unnest(terms) AS term FROM tok WHERE doc_id = 42)
+          |  GROUP BY 1
+          |), mlt_sel AS (
+          |  SELECT mlt_tf.term FROM mlt_tf JOIN idf USING (term)
+          |  ORDER BY round(mlt_tf.tf * idf.idf, 6) + 0.0 DESC, term ASC LIMIT 25
+          |)""".stripMargin +
+        topKTailSql("SELECT term, CAST(1 AS BIGINT) AS q_mult FROM mlt_sel")),
 
       // exact + fuzzy RRF over the same typo'd batch: the exact member's
       // unknown token drops out, the fuzzy member recovers it via
@@ -739,42 +750,20 @@ object SparkEntry {
       // synonym expansion: distinct union of query terms and their table
       // synonyms, each scoring once at equal weight
       "q_synonym_topk" -> (ctes +
-        s""", syn(term, synonym) AS (VALUES ('table', 'row'), ('query', 'scan')),
-           |sexp AS (
-           |  SELECT term FROM q
-           |  UNION
-           |  SELECT syn.synonym FROM q JOIN syn USING (term)
-           |), scored AS (
-           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
-           |  FROM tf
-           |       JOIN (SELECT term, CAST(1 AS BIGINT) AS q_mult FROM sexp) qt
-           |         USING (term)
-           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-           |  GROUP BY tf.doc_id
-           |), ranked AS (
-           |  SELECT doc_id, score_r,
-           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
-           |  FROM scored
-           |)
-           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+        """, syn(term, synonym) AS (VALUES ('table', 'row'), ('query', 'scan')),
+          |sexp AS (
+          |  SELECT term FROM q
+          |  UNION
+          |  SELECT syn.synonym FROM q JOIN syn USING (term)
+          |)""".stripMargin +
+        topKTailSql("SELECT term, CAST(1 AS BIGINT) AS q_mult FROM sexp")),
 
       // per-term boosts scale each term's whole contribution (linear in
       // idf); unlisted terms boost 1.0
       "q_bm25_boosted" -> (ctes +
-        s""", bq(term, boost) AS (VALUES ('table', 2.5), ('vector', 0.5)),
-           |scored AS (
-           |  SELECT tf.doc_id,
-           |         round(${ScoreExpr.replace("qt.q_mult",
-                       "(qt.q_mult * coalesce(bq.boost, 1.0))")}, 4) + 0.0 AS score_r
-           |  FROM tf JOIN qt USING (term) LEFT JOIN bq USING (term)
-           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-           |  GROUP BY tf.doc_id
-           |), ranked AS (
-           |  SELECT doc_id, score_r,
-           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
-           |  FROM scored
-           |)
-           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+        """, bq(term, boost) AS (VALUES ('table', 2.5), ('vector', 0.5))""" +
+        topKTailSql("SELECT qt.term, qt.q_mult * coalesce(bq.boost, 1.0)" +
+          " AS q_mult FROM qt LEFT JOIN bq USING (term)")),
 
       // terms-aggregation facets: the match set is every doc holding >= 1
       // query term (exactly WAND k=0's candidate contract incl. score-0
@@ -834,46 +823,25 @@ object SparkEntry {
       // q_mult 1 per expanded term) through the shared score expression —
       // the subquery alias `qt` shadows the fixed-battery qt cte in scope
       "q_fuzzy_topk" -> (ctes +
-        s""", fq(term) AS (VALUES
-           |    ('sparkk'), ('tble'), ('quary'), ('vectr'), ('zzzzzzz')
-           |), fexp AS (
-           |  SELECT DISTINCT idf.term FROM fq, idf
-           |  WHERE levenshtein(fq.term, idf.term) <= 1
-           |), scored AS (
-           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
-           |  FROM tf
-           |       JOIN (SELECT term, CAST(1 AS BIGINT) AS q_mult FROM fexp) qt
-           |         USING (term)
-           |       JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-           |  GROUP BY tf.doc_id
-           |), ranked AS (
-           |  SELECT doc_id, score_r,
-           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
-           |  FROM scored
-           |)
-           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+        """, fq(term) AS (VALUES
+          |    ('sparkk'), ('tble'), ('quary'), ('vectr'), ('zzzzzzz')
+          |), fexp AS (
+          |  SELECT DISTINCT idf.term FROM fq, idf
+          |  WHERE levenshtein(fq.term, idf.term) <= 1
+          |)""".stripMargin +
+        topKTailSql("SELECT term, CAST(1 AS BIGINT) AS q_mult FROM fexp")),
 
       // bool must_not: exclusion restricts candidates (docs holding any
       // excluded term vanish), full-corpus stats score the survivors
       "q_bm25_must_not" -> (ctes +
-        s""", mn(term) AS (VALUES ('stream'), ('window')),
-           |excl AS (SELECT DISTINCT doc_id FROM tf JOIN mn USING (term)),
-           |scored AS (
-           |  SELECT tf.doc_id, round($scoreExpr, 4) + 0.0 AS score_r
-           |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
-           |       JOIN dl ON dl.doc_id = tf.doc_id
-           |  WHERE tf.doc_id NOT IN (SELECT doc_id FROM excl)
-           |  GROUP BY tf.doc_id
-           |), ranked AS (
-           |  SELECT doc_id, score_r,
-           |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
-           |  FROM scored
-           |)
-           |SELECT doc_id, score_r, rank FROM ranked WHERE rank <= 10""".stripMargin),
+        """, mn(term) AS (VALUES ('stream'), ('window')),
+          |excl AS (SELECT DISTINCT doc_id FROM tf JOIN mn USING (term))""".stripMargin +
+        topKTailSql("SELECT term, q_mult FROM qt",
+          "WHERE tf.doc_id NOT IN (SELECT doc_id FROM excl)")),
 
-      // sliding-window phrase count over candidates holding both terms;
-      // DuckDB arrays are 1-based, range(a,b) is [a,b). The positional-arm
-      // query shares the oracle verbatim — same counts from the index alone.
+      // did-you-mean suggestions: DuckDB levenshtein() over the full
+      // (term, df) dictionary — the deletion-variant pruning join must be
+      // invisible (exact distance predicate decides on both sides)
       "q_spell_suggest" -> (ctes +
         s""", sq(query_id, q_term) AS (VALUES
            |    (CAST(1 AS BIGINT), 'sparkk'), (CAST(2 AS BIGINT), 'tble'),
@@ -891,6 +859,9 @@ object SparkEntry {
            |SELECT query_id, q_term, suggestion, df, rank
            |FROM ranked WHERE rank <= 5""".stripMargin),
 
+      // sliding-window phrase count over candidates holding both terms;
+      // DuckDB arrays are 1-based, range(a,b) is [a,b). The positional-arm
+      // query shares the oracle verbatim — same counts from the index alone.
       "q_phrase_topk" -> phraseOracle(ctes),
       "q_phrase_positional_topk" -> phraseOracle(ctes),
       "q_proximity_topk" -> proximityOracle(ctes),

@@ -90,6 +90,13 @@ object SpellProbe {
         .toDF("term", "df")
         .write.mode("overwrite").parquet(dictPath)
     val dict = spark.read.parquet(dictPath)
+    // term() aims for uniqueness (hashed prefix + base-26 id suffix) but a
+    // variable-length prefix is not provably injective — fail loudly
+    // instead of silently benchmarking a shrunken vocabulary (verified
+    // collision-free at 2M; this pins larger vocab args)
+    val distinctTerms = dict.select(col("term")).distinct().count()
+    require(distinctTerms == vocab,
+      s"SpellProbe: term() collided — $distinctTerms distinct of $vocab")
 
     // offline: fused one-shuffle build (range-clustered + sorted by
     // variant so small-batch pushdown prunes row groups)

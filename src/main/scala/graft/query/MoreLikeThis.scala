@@ -22,8 +22,13 @@ object MoreLikeThis {
              docs: Seq[(Long, String)], maxTerms: Int, k: Int,
              meta: graft.io.MetaIO = graft.io.LocalMetaIO): DataFrame = {
     require(maxTerms > 0, s"MoreLikeThis: maxTerms must be positive (got $maxTerms)")
-    val (_, prepared) = Wand.prepare(spark, indexDir, docs, meta)
-    val queries = prepared.flatMap { pq =>
+    // ONE prepare: its idf maps drive the term selection, and the reduced
+    // queries reuse the same stats/idf through searchPrepared (no second
+    // stats read or df lookup). The reduced PreparedQuery is exactly what
+    // re-tokenizing "selected.sorted.mkString(' ')" would produce: sorted
+    // distinct terms, each with its already-prepared idf.
+    val (stats, prepared) = Wand.prepare(spark, indexDir, docs, meta)
+    val reduced = prepared.flatMap { pq =>
       if (pq.idf.isEmpty) None
       else {
         val tf = pq.tokens.groupBy(identity).map { case (t, a) => t -> a.length }
@@ -33,10 +38,11 @@ object MoreLikeThis {
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)
           }
           .sortBy { case (t, w) => (-w, t) }
-          .take(maxTerms).map(_._1)
-        Some(pq.queryId -> selected.sorted.mkString(" "))
+          .take(maxTerms).map(_._1).sorted
+        Some(Wand.PreparedQuery(pq.queryId, selected.toArray,
+          pq.idf.filter { case (t, _) => selected.contains(t) }))
       }
     }
-    Wand.search(spark, indexDir, queries, k, meta = meta)
+    Wand.searchPrepared(spark, indexDir, stats, reduced, k, meta = meta)
   }
 }

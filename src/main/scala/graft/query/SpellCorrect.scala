@@ -191,24 +191,25 @@ object SpellCorrect {
     * exact levenshtein predicate decides.
     */
   def suggest(queries: DataFrame, deletionIdx: DataFrame, k: Int): DataFrame = {
-    // small batch -> enumerate its variants driver-side and push them into
-    // the index scan (one cheap bounded job on the tiny query frame)
-    val nq = queries.count()
-    val probeTerms =
-      if (nq > PushdownVariants) Seq.empty
-      else queries.select(col("term")).distinct()
-        .collect().map(_.getString(0)).toSeq
+    // ONE bounded job decides both the scan pushdown and the join mode:
+    // a small batch's distinct terms come back whole (enumerate variants
+    // driver-side, push them into the index scan); only an over-limit
+    // batch pays a second count() to pick broadcast vs shuffle join.
+    val probeTerms = queries.select(col("term")).distinct()
+      .limit(PushdownVariants + 1).collect().map(_.getString(0)).toSeq
+    val small = probeTerms.size <= PushdownVariants
     val variants: Option[Seq[String]] =
-      if (probeTerms.isEmpty || probeTerms.size > PushdownVariants) None
+      if (!small) None
       else {
         val vs = probeTerms.flatMap(variantsOf).distinct
         if (vs.size <= PushdownVariants) Some(vs) else None
       }
+    val useBroadcast = small || queries.count() <= BroadcastProbeQueries
     val q = queries
       .select(col("query_id"), col("term").as("q_term"),
         explode(variantsCol(col("term"))).as("variant"))
     val cand = hashProbeJoin(q, prunedIdx(deletionIdx, variants),
-      useBroadcast = nq <= BroadcastProbeQueries)
+      useBroadcast = useBroadcast)
       .select(col("query_id"), col("q_term"), col("term"), col("df"))
       .distinct()
       .filter(levenshtein(col("q_term"), col("term")) <= 1)

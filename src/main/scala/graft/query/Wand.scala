@@ -151,6 +151,20 @@ object Wand {
              boosts: Map[Long, Map[String, Double]] = Map.empty): DataFrame = {
     val (stats, prepared) =
       prepare(spark, indexDir, queries, meta, mustNot, boosts)
+    searchPrepared(spark, indexDir, stats, prepared, k, allowedDocs, meta,
+      minShouldMatch)
+  }
+
+  /** [[search]] given an already-prepared batch — for callers that needed
+    * the prepared idf maps themselves (e.g. MoreLikeThis's tf·idf term
+    * selection) so the stats read and df lookup run once, not twice.
+    */
+  private[query] def searchPrepared(spark: SparkSession, indexDir: String,
+                                    stats: IndexStats,
+                                    prepared: Seq[PreparedQuery], k: Int,
+                                    allowedDocs: Option[Array[Long]] = None,
+                                    meta: graft.io.MetaIO = graft.io.LocalMetaIO,
+                                    minShouldMatch: Int = 1): DataFrame = {
     // must_not terms join the pushed-down posting scan: their lists feed
     // per-query exclusion cursors in the shard kernel (no scoring cursors —
     // only positive terms carry idf entries)
