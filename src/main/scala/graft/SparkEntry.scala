@@ -75,18 +75,25 @@ object SparkEntry {
     */
   private def wandContractTopK(s: SparkSession, dir: String)(
       run: String => DataFrame): DataFrame =
-    wandContractTopKFrom(s, DocsCorpus.tokenized(s, dir))(run)
+    // stageInput=false: DocsCorpus.tokenized is a cheap narrow re-derivation
+    // from the documents parquet (whose physical doc_id column the group
+    // jobs' range predicates push down to), so staging the terms arrays to
+    // parquet first is a pure write+read round-trip per contract query
+    wandContractTopKFrom(s, DocsCorpus.tokenized(s, dir), stageInput = false)(run)
 
   /** Same contract over an arbitrary tokenized (doc_id, terms) source —
     * the multi-format ingest query feeds its extracted corpus through
     * here so every packed-index query shares ONE rounding/tie-break
-    * implementation.
+    * implementation. `stageInput` stays true for sources with an expensive
+    * upstream (binary extraction) that each build pass should not recompute.
     */
-  private[graft] def wandContractTopKFrom(s: SparkSession, tokenized: DataFrame)(
+  private[graft] def wandContractTopKFrom(s: SparkSession, tokenized: DataFrame,
+                                          stageInput: Boolean = true)(
       run: String => DataFrame): DataFrame = {
     val idxDir = java.nio.file.Files.createTempDirectory("graft-wandq").toString
     graft.index.PackedIndex.build(
-      tokenized, idxDir, shardBits = 7, groups = 2, p = P)
+      tokenized, idxDir, shardBits = 7, groups = 2, p = P,
+      stageInput = stageInput)
     val hits = run(idxDir)
     val bounded = hits.withColumn("score_r", round(col("score"), 4))
       .select(col("doc_id"), col("score_r"))
@@ -213,7 +220,7 @@ object SparkEntry {
     "q_facets" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-fct").toString
       graft.index.PackedIndex.build(DocsCorpus.tokenized(s, dir), idxDir,
-        shardBits = 7, groups = 2, p = P)
+        shardBits = 7, groups = 2, p = P, stageInput = false)
       val hits = graft.query.Wand.search(s, idxDir, contractQueryBatch, k = 0)
       graft.query.Facets.termsFacet(hits, DocsCorpus.documents(s, dir),
         "lang", topN = 10)
@@ -301,7 +308,7 @@ object SparkEntry {
     "q_phrase_positional_topk" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-posq").toString
       val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P, stageInput = false)
       graft.index.PositionalIndex.build(tok, idxDir)
       graft.query.Phrase.topKPositional(s, idxDir, Seq("table", "scan"), k = 10)
     }),
@@ -318,7 +325,7 @@ object SparkEntry {
     "q_proximity_positional_topk" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-proxq").toString
       val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P, stageInput = false)
       graft.index.PositionalIndex.build(tok, idxDir)
       graft.query.Phrase.proximityTopKPositional(s, idxDir,
         "table", "scan", slop = 3, k = 10)
@@ -335,7 +342,7 @@ object SparkEntry {
     "q_near_positional_topk" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-nearq").toString
       val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P, stageInput = false)
       graft.index.PositionalIndex.build(tok, idxDir)
       graft.query.Phrase.nearTopKPositional(s, idxDir,
         Seq("table", "scan", "query"), slop = 6, k = 10)
@@ -351,7 +358,7 @@ object SparkEntry {
     "q_positional_batch" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-posbatchq").toString
       val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P, stageInput = false)
       graft.index.PositionalIndex.build(tok, idxDir)
       import graft.query.PositionalQuery._
       graft.query.Phrase.search(s, idxDir, Seq(
@@ -373,7 +380,7 @@ object SparkEntry {
     "q_ensemble_phrase" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-ensph").toString
       val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P, stageInput = false)
       graft.index.PositionalIndex.build(tok, idxDir)
       val bm25 = new graft.query.RoundedRankRetriever(
         new graft.query.Bm25WandRetriever(idxDir), digits = 4, overfetch = 200)
@@ -419,7 +426,7 @@ object SparkEntry {
     "q_ensemble_fuzzy" -> ((s, dir) => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-ensfz").toString
       val tok = DocsCorpus.tokenized(s, dir)
-      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P)
+      graft.index.PackedIndex.build(tok, idxDir, shardBits = 7, groups = 2, p = P, stageInput = false)
       val didx = graft.query.SpellCorrect.deletionIndex(
         graft.query.SpellCorrect.dictionary(tok))
       val bm25 = new graft.query.RoundedRankRetriever(

@@ -138,7 +138,10 @@ object Ann {
 
   def ivfTopK(queries: DataFrame, corpusWithCell: DataFrame,
               centroids: DataFrame, k: Int, nProbe: Int): DataFrame =
-    ivfTopKWithProbes(probeCells(queries, centroids, nProbe), corpusWithCell, k)
+    // routed through the heap kernel (result-identical to the join+window
+    // plan — see [[ivfTopKKernel]]; it degrades to [[ivfTopKWithProbes]]
+    // itself when the probe set exceeds the broadcast bound)
+    ivfTopKKernel(probeCells(queries, centroids, nProbe), corpusWithCell, k)
 
   /** IVF scoring given an already-selected probe set (query_id, qvec,
     * cell_id) — lets [[ivfSweep]] reuse one probe computation for both

@@ -72,18 +72,16 @@ object Phrase {
 
   /** Top-k docs by ordered proximity count (corpus-rescan verify path —
     * the positional-index sibling is [[proximityTopKPositional]]).
+    * `postings` is unused (kept for source compatibility): candidates come
+    * from an `array_contains` prefilter on the token arrays — the same
+    * conjunctive predicate the postings semi-join expressed, evaluated
+    * where the data already sits (no postings aggregation, no join, no
+    * shuffle; the count kernel is the positional arm's, shared).
     */
   def proximityTopK(tokenized: DataFrame, postings: DataFrame,
                     a: String, b: String, slop: Int, k: Int): DataFrame = {
-    val counted = tokenized
-      .join(candidates(postings, Seq(a, b)), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        proximityCount(col("terms"), a, b, slop).as("prox_tf"))
-      .filter(col("prox_tf") > 0)
-    val bounded = counted
-      .orderBy(col("prox_tf").desc, col("doc_id").asc).limit(k)
-    graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
-      col("prox_tf").desc, col("doc_id").asc)
+    require(slop >= 1, "proximityTopK: slop must be >= 1")
+    rescanTopK(tokenized, Array(a, b), "prox_tf", k)(proximityKernelCount(slop))
   }
 
   /** Ordered proximity top-k from the POSITIONAL index arm alone: same
@@ -154,19 +152,15 @@ object Phrase {
   }
 
   /** Top-k docs by unordered NEAR count (corpus-rescan verify path — the
-    * positional-index sibling is [[nearTopKPositional]]).
+    * positional-index sibling is [[nearTopKPositional]]). `postings` is
+    * unused (kept for source compatibility) — see [[proximityTopK]].
     */
   def nearTopK(tokenized: DataFrame, postings: DataFrame,
                terms: Seq[String], slop: Int, k: Int): DataFrame = {
-    val counted = tokenized
-      .join(candidates(postings, terms), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        nearCount(col("terms"), terms, slop).as("near_tf"))
-      .filter(col("near_tf") > 0)
-    val bounded = counted
-      .orderBy(col("near_tf").desc, col("doc_id").asc).limit(k)
-    graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
-      col("near_tf").desc, col("doc_id").asc)
+    require(slop >= 1, "nearTopK: slop must be >= 1")
+    require(terms.length >= 2 && terms.distinct == terms,
+      "nearTopK: need >= 2 distinct terms")
+    rescanTopK(tokenized, terms.toArray, "near_tf", k)(nearKernelCount(slop))
   }
 
   /** Unordered NEAR top-k from the POSITIONAL index arm alone: same
@@ -257,18 +251,67 @@ object Phrase {
   }
 
   /** Top-k docs by sliding phrase count. `tokenized` is (doc_id, terms);
-    * `postings` is the flat (term, doc_id, tf) table over the same corpus.
+    * `postings` is unused (kept for source compatibility) — see
+    * [[proximityTopK]] for the candidate-generation change.
     */
   def topK(tokenized: DataFrame, postings: DataFrame,
            phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "topK: empty phrase")
+    rescanTopK(tokenized, phrase.toArray, "phrase_tf", k)(phraseKernelCount)
+  }
+
+  /** Shared corpus-rescan top-k: narrow `array_contains` conjunctive
+    * prefilter (the same candidate set the old postings semi-join produced,
+    * with zero shuffles — guide §2.4 "remove shuffles outright"), then the
+    * SAME per-doc position-array kernels the positional index arm runs
+    * (count-identical by PhraseSpec/the shared DuckDB oracles; the previous
+    * Catalyst higher-order-function folds evaluated interpreted, measured
+    * as the dominant cost of these queries). One narrow stage up to the
+    * bounded top-k.
+    */
+  private def rescanTopK(tokenized: DataFrame, slots: Array[String],
+                         countCol: String, k: Int)(
+      countFn: Array[Array[Long]] => Long): DataFrame = {
+    val spark = tokenized.sparkSession
+    import spark.implicits._
+    val pre = slots.distinct.map(t => array_contains(col("terms"), t))
+      .reduce(_ && _)
     val counted = tokenized
-      .join(candidates(postings, phrase), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), phraseCount(col("terms"), phrase).as("phrase_tf"))
-      .filter(col("phrase_tf") > 0)
+      .filter(pre)
+      .select(col("doc_id"), col("terms"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, toks) =>
+          val cnt = countFn(slotPositionsOf(toks, slots))
+          if (cnt > 0) Iterator.single((id, cnt)) else Iterator.empty
+        }
+      }
+      .toDF("doc_id", countCol)
     val bounded = counted
-      .orderBy(col("phrase_tf").desc, col("doc_id").asc).limit(k)
+      .orderBy(col(countCol).desc, col("doc_id").asc).limit(k)
     graft.index.InvertedIndex.rankBounded(bounded, col("doc_id"),
-      col("phrase_tf").desc, col("doc_id").asc)
+      col(countCol).desc, col("doc_id").asc)
+  }
+
+  /** 1-based occurrence positions of each slot term in one doc's token
+    * sequence, shaped exactly like the positional index's per-slot arrays
+    * (repeated slot terms share one array) so the positional kernels apply
+    * unchanged. One pass over the tokens.
+    */
+  private[query] def slotPositionsOf(toks: Seq[String],
+                                     slots: Array[String]): Array[Array[Long]] = {
+    val distinct = slots.distinct
+    val builders = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+    distinct.foreach(t => builders.put(t, new scala.collection.mutable.ArrayBuilder.ofLong))
+    var p = 1L
+    val it = toks.iterator
+    while (it.hasNext) {
+      val b = builders.get(it.next())
+      if (b != null) b += p
+      p += 1
+    }
+    val byTerm = distinct.map(t => t -> builders.get(t).result()).toMap
+    slots.map(byTerm)
   }
 
   /** Top-k phrase search from the POSITIONAL index arm alone — no corpus

@@ -93,16 +93,22 @@ class PlanHygieneSpec extends SparkSpec {
       s"semi-join not below the aggregate (agg@$aggIdx, semi@$semiIdx)")
   }
 
-  test("phrase top-k: bounded TakeOrdered, semi-join verify over candidates") {
+  test("phrase top-k: bounded TakeOrdered, zero-shuffle narrow rescan") {
     val qe = SparkEntry.queries("q_phrase_topk")(spark, "/root/testdata/sf0.001")
       .queryExecution
     val plan = qe.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
-    // verify-then-rank over CANDIDATES only: the conjunctive candidate
-    // aggregation must feed a LeftSemi that gates the token arrays — a
-    // plan that counts phrases over the whole corpus and filters later
-    // would scan every doc's tokens at 100 TB
-    assert(plan.contains("LeftSemi"), plan.take(1500))
+    // r7: candidates come from an array_contains prefilter evaluated in the
+    // SAME narrow stage as the count kernel — the conjunctive gate still
+    // kills non-candidates before any position work, and the whole path to
+    // the bounded top-k carries NO shuffle at all (the previous
+    // postings-aggregation + LeftSemi shape paid two exchanges for the
+    // same candidate set)
+    assert(plan.contains("array_contains"), plan.take(1500))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0,
+      s"expected a shuffle-free rescan plan, found $exchanges Exchange(s):\n" +
+        plan.take(1500))
   }
 
   test("q_bm25_wand_topk runs through the strategy-planned Bm25TopKExec") {
