@@ -99,6 +99,24 @@ object BenchExtra {
           println(f"""{"probe":"ds_$nQ","rep":$r,"sec":$sec%.2f,"qps":${nQ / sec}%.0f}""")
         }
 
+      case "wandbuild" =>
+        // contract-scale PackedIndex.build phase breakdown (the fixed cost
+        // ~15 battery lines pay): stats collection, group jobs, df, eps
+        val reps = args.lift(1).map(_.toInt).getOrElse(3)
+        (1 to reps).foreach { r =>
+          val tok = DocsCorpus.tokenized(spark, sfDir)
+          val dir = java.nio.file.Files.createTempDirectory("graft-bxwb").toString
+          val t0 = System.nanoTime()
+          graft.index.PackedIndex.build(tok, dir, shardBits = 7, groups = 2,
+            stageInput = false)
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val hits = query.Wand.search(spark, dir,
+            Seq(0L -> DocsCorpus.fixedQuery.mkString(" ")), k = 200).count()
+          val qSec = (System.nanoTime() - t1) / 1e9
+          println(f"""{"probe":"wandbuild","rep":$r,"build_sec":$buildSec%.3f,"query_sec":$qSec%.3f,"hits":$hits}""")
+        }
+
       case other => sys.error(s"unknown mode $other")
     }
     val calib1 = Bench.calibMops()

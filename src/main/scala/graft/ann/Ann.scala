@@ -282,11 +282,17 @@ object Ann {
     * Catalyst lambda fold evaluates far slower than the primitive-array
     * kernel well before that (the 2M-vector probe measured a 256-cell
     * build ~11x slower on the literal path than a 1415-cell build on the
-    * kernel). The paths are bit-identical (DedupAnnSpec), so the literal
-    * form is kept only for the smallest counts where its zero-setup
-    * whole-stage codegen wins.
+    * kernel). The paths are bit-identical (DedupAnnSpec).
+    *
+    * r7: set to 0 — the "codegen wins at small counts" assumption behind
+    * the old value of 16 was wrong: Catalyst higher-order functions
+    * (aggregate/zip_with) evaluate INTERPRETED, not whole-stage-codegen'd,
+    * so the literal fold loses at every cell count (q_ann_ivf_topk at 16
+    * cells measured 5.75 s -> 2.61 s min-of-3 on the kernel path). The
+    * literal form is retained only as the cross-check arm DedupAnnSpec
+    * pins the kernel against.
     */
-  private[graft] val AssignLiteralMaxCells = 16
+  private[graft] val AssignLiteralMaxCells = 0
 
   /** Assign corpus vectors to nearest centroid (cell). Both paths are one
     * narrow map-side pass over the corpus — no join, no shuffle, no window —

@@ -63,11 +63,16 @@ object PipelineQueries {
       Fusion.label(rankingFixture(s, dir), qrels(s, dir))
         .select(col("query_id"), col("doc_id"), col("rank"), col("label"))),
 
-    // A5-A9 metric battery in one row
+    // A5-A9 metric battery in one row. r7: served by the single-pass fused
+    // plan (summaryFused) — the five-pass summary() ran ~10 driver-blocking
+    // jobs for the same five values; both plans round identically at the
+    // oracle's 6 decimals on every contract SF (verified bitwise vs DuckDB),
+    // and the five-pass reference-shaped path stays covered by
+    // RankMetrics.summary + MetricsSpec.
     "q_metrics" -> ((s, dir) => {
       val r = rankingFixture(s, dir)
       val q = qrels(s, dir)
-      RankMetrics.summary(r, q, K)
+      RankMetrics.summaryFused(r, q, K)
         .select(round(col("recall"), 6).as("recall_r"),
           round(col("hit_rate"), 6).as("hit_rate_r"),
           round(col("mrr"), 6).as("mrr_r"),

@@ -67,12 +67,15 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val toks = graft.tokenize.PyTokenize.asciiSplit(lower(col(textCol)))
+    // per-doc dedup is a pure function of the doc's own shingle array, so
+    // it runs NARROWLY via array_distinct before the explode — the old
+    // `.distinct()` after the explode shuffled every (doc_id, shingle) row
+    // corpus-wide for the identical result (r7; guide §2.4)
     docs.select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("shingle"))
-      .distinct()
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))).as("shingle"))
   }
 
   /** n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard >= t).
@@ -95,9 +98,15 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    hashedShingles: Boolean = false): DataFrame = {
     val shStr = shingles(docs, n, idCol, textCol)
+    // pinned once: four downstream lineages (set sizes, shingle frequency,
+    // both self-join sides) consume the shingle table — without a common
+    // exchange to reuse, each would recompute tokenize+shingling from the
+    // corpus (r7). In hashed mode the checkpoint lands AFTER the xxhash64
+    // projection so the pinned rows are 8-byte keys, not n-gram strings.
     val sh =
-      if (!hashedShingles) shStr
-      else shStr.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      (if (!hashedShingles) shStr
+       else shStr.select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+        .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
@@ -161,8 +170,13 @@ object Dedup {
                       family: HashFamily = XxFamily): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    // one signature row per doc (tiny at any corpus scale that fits an LSH
+    // join); pinned via localCheckpoint because THREE downstream lineages
+    // (banded join side, bucket-size counts, pair emission) would otherwise
+    // each recompute the full shingle + numHashes-digest chain — the
+    // dominant CPU of this operator in md5 oracle mode (r7)
     val sig = minhashSignatures(shingles(docs, shingleN, idCol, textCol),
-      numHashes, family)
+      numHashes, family).localCheckpoint()
     // band bucket key: md5 over the joined hex strings in oracle mode (the
     // DuckDB oracle replicates it); xxhash64 over the band's sig slice
     // directly (hashes the array natively, no string build) in production

@@ -158,7 +158,8 @@ object PackedIndex {
   }
 
   def packGroup(postingsDl: DataFrame, stats: IndexStats,
-                counters: Option[PackCounters] = None): Dataset[PackedPostings] = {
+                counters: Option[PackCounters] = None,
+                maxShards: Int = Int.MaxValue): Dataset[PackedPostings] = {
     val spark = postingsDl.sparkSession
     import spark.implicits._
     val p = stats.params
@@ -168,8 +169,12 @@ object PackedIndex {
     // byte-based coalescing would serialize it into a few long tasks. x4
     // over-decomposition smooths wave/tail imbalance (the pack stage is the
     // longest reduce in the build; at 16 fixed partitions its stragglers
-    // left cores idle at higher parallelism).
-    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    // left cores idle at higher parallelism). Bounded by the group's shard
+    // count when the caller knows it: the partitioner hashes on `shard`, so
+    // partitions beyond the distinct-shard count can never receive rows —
+    // they only cost empty scheduled tasks (r7; measured at contract scale).
+    val parts = math.max(
+      math.min(spark.sparkContext.defaultParallelism * 4, maxShards), 1)
     val withShard = postingsDl
       .withColumn("shard", shiftright(col("doc_id"), stats.shardBits).cast("int"))
       .select(col("shard"), col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -252,6 +257,20 @@ object PackedIndex {
     buildFrom(tokenized, dir, shardBits, groups, p, blockSize, io, meta)
   }
 
+  /** Opt-in stage timing to stderr (SPARK_GRAFT_BUILD_TIMINGS=1) — profiling
+    * aid only, no effect on the build.
+    */
+  private val logTimings: Boolean =
+    sys.env.get("SPARK_GRAFT_BUILD_TIMINGS").contains("1")
+  @inline private def timedStage[T](label: String)(f: => T): T =
+    if (!logTimings) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[build-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   private def buildFrom(tokenized: DataFrame, dir: String,
                         shardBitsIn: Int, groups: Int,
                         p: Bm25Params,
@@ -269,11 +288,11 @@ object PackedIndex {
     // this both fixes the contiguous group split and yields exact per-group
     // corpus stats for the manifests (one row per shard; shard count is
     // bounded by design, so the collect is vocabulary-scale, not corpus-scale)
-    val perShard = tokenized
+    val perShard = timedStage("perShard") { tokenized
       .groupBy(shiftright(col("doc_id"), shardBits).cast("int").as("shard"))
       .agg(count(lit(1)).as("docs"), sum(size(col("terms")).cast("long")).as("sum_dl"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+      .sortBy(_._1) }
     val maxShard = if (perShard.isEmpty) -1 else perShard.last._1
     val shardsPerGroup = math.max(1, (maxShard + groups) / groups) // ceil
     def groupOf(shard: Int): Int = math.min(shard / shardsPerGroup, groups - 1)
@@ -303,13 +322,16 @@ object PackedIndex {
           if (g == groups - 1) Long.MaxValue
           else (g.toLong + 1) * shardsPerGroup << shardBits
         val groupDocs = tokenized.filter(col("doc_id") >= lo && col("doc_id") < hi)
-        val packed = packGroup(postingsWithDl(groupDocs), packStats, Some(counters))
+        val nShardsInGroup = perShard.count { case (sh, _, _) => groupOf(sh) == g }
+        val packed = packGroup(postingsWithDl(groupDocs), packStats, Some(counters),
+          maxShards = math.max(nShardsInGroup, 1))
+        timedStage(s"group-$g pack+write") {
         // shard stays a DATA column (files are already clustered by shard via
         // the sorted shuffle): a dir-per-shard partitionBy layout added one
         // driver-serial file commit + one scheduler task per shard dir on
         // every read — thousands of tiny files at web scale for zero pruning
         // benefit (queries prune by TERM, not shard)
-        io.write(packed.toDF(), s"$dir/postings/grp=$g")
+        io.write(packed.toDF(), s"$dir/postings/grp=$g") }
         val (gDocs, gSumDl) = groupTotals.getOrElse(g, (0L, 0L))
         val man = GroupManifest(g, counters.terms.value, counters.postings.value,
           counters.bytes.value, (System.nanoTime() - t0) / 1e6, gDocs, gSumDl)
@@ -341,10 +363,10 @@ object PackedIndex {
       // downstream BM25 division silently. An empty corpus is a caller bug.
       require(n > 0, s"PackedIndex.build: empty corpus (0 docs) at $dir")
       val avgdl = manifests.map(_.sumDl).sum.toDouble / n
-      io.write(io.read(spark, s"$dir/postings")
-        .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$dir/df")
-      val avgRawIdf =
-        InvertedIndex.avgRawIdf(io.read(spark, s"$dir/df"), n)
+      timedStage("df write") { io.write(io.read(spark, s"$dir/postings")
+        .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$dir/df") }
+      val avgRawIdf = timedStage("avgRawIdf") {
+        InvertedIndex.avgRawIdf(io.read(spark, s"$dir/df"), n) }
       writeStats(dir, IndexStats(n, avgdl, avgRawIdf, p.k1, p.b, p.epsilon,
         shardBits, blockSize), dfDir = "df", meta)
     }
@@ -415,7 +437,10 @@ object PackedIndex {
     val counters = new PackCounters(spark)
     val packStats = IndexStats(n, avgdl, 0.0, old.k1, old.b, old.epsilon,
       old.shardBits, old.blockSize)
-    io.write(packGroup(postingsWithDl(newTokenized), packStats, Some(counters)).toDF(),
+    val batchShards = // new ids are dense in [oldN, oldN + nNew)
+      (((oldN + nNew - 1) >> old.shardBits) - (oldN >> old.shardBits) + 1).toInt
+    io.write(packGroup(postingsWithDl(newTokenized), packStats, Some(counters),
+      maxShards = math.max(batchShards, 1)).toDF(),
       s"$dir/postings/grp=$nextGroup")
 
     // recompute global df from the packed rows (column-pruned scan) into a
@@ -455,6 +480,19 @@ object PackedIndex {
     * never reused — a reused id would resurrect under stale external
     * references).
     */
+  /** Upper bound on the index's distinct shard count, from the id
+    * watermark: ids are dense in [0, committedDocs), so shard =
+    * doc_id >> shardBits never exceeds this. Query/pack stages keyed on
+    * `shard` cap their partition counts here — a hash partitioner on
+    * `shard` cannot put rows in more partitions than distinct shards, so
+    * anything beyond is empty scheduled tasks (r7).
+    */
+  def numShardsBound(dir: String, meta: MetaIO = LocalMetaIO): Int = {
+    val bits = readStats(dir, meta).shardBits
+    val docs = committedDocs(dir, meta)
+    (math.max(math.max(docs, 1L) - 1, 0L) >> bits).toInt + 1
+  }
+
   def committedDocs(dir: String, meta: MetaIO = LocalMetaIO): Long = {
     val wm = s"$dir/watermark.json"
     if (meta.exists(wm))

@@ -77,10 +77,13 @@ object PositionalIndex {
     * repartition with x4 over-decomposition, streamed runs.
     */
   private def pack(tokenized: DataFrame, shardBits: Int,
-                   blockSize: Int): DataFrame = {
+                   blockSize: Int, maxShards: Int = Int.MaxValue): DataFrame = {
     val spark = tokenized.sparkSession
     import spark.implicits._
-    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    // capped at the arm's shard count — hash-on-shard cannot fill more
+    // partitions than distinct shards (r7, matches PackedIndex.packGroup)
+    val parts = math.max(
+      math.min(spark.sparkContext.defaultParallelism * 4, maxShards), 1)
     val withShard = positionsPerDoc(tokenized)
       .toDF("doc_id", "term", "positions")
       .withColumn("shard", shiftright(col("doc_id"), shardBits).cast("int"))
@@ -126,7 +129,8 @@ object PositionalIndex {
             io: TableIO = ParquetDirIO,
             meta: MetaIO = LocalMetaIO): Unit = {
     val stats = PackedIndex.readStats(dir, meta)
-    io.write(pack(tokenized, stats.shardBits, stats.blockSize),
+    io.write(pack(tokenized, stats.shardBits, stats.blockSize,
+      maxShards = PackedIndex.numShardsBound(dir, meta)),
       s"$dir/positions")
     meta.writeAtomic(s"$dir/positions.list", "positions")
   }

@@ -428,7 +428,9 @@ object Phrase {
     val tomb = graft.index.PackedIndex.loadTombstones(indexDir, meta)
     val bcTomb = spark.sparkContext.broadcast(tomb)
     val bcQueries = spark.sparkContext.broadcast(live)
-    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    // capped at the shard count — see Wand.searchPrepared (r7)
+    val parts = math.max(math.min(spark.sparkContext.defaultParallelism * 4,
+      graft.index.PackedIndex.numShardsBound(indexDir, meta)), 1)
     val hits = posRows
       .repartition(parts, col("shard"))
       .sortWithinPartitions(col("shard"), col("term"))
@@ -519,7 +521,9 @@ object Phrase {
     val tomb = graft.index.PackedIndex.loadTombstones(indexDir, meta)
     val bcTomb = spark.sparkContext.broadcast(tomb)
     val bcSlots = spark.sparkContext.broadcast(slotTerms.toArray)
-    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    // capped at the shard count — see Wand.searchPrepared (r7)
+    val parts = math.max(math.min(spark.sparkContext.defaultParallelism * 4,
+      graft.index.PackedIndex.numShardsBound(indexDir, meta)), 1)
     val counted = posRows
       .repartition(parts, col("shard"))
       .sortWithinPartitions(col("shard"), col("term"))

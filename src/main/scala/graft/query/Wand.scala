@@ -193,7 +193,10 @@ object Wand {
     // (small, compressed) matched postings into a handful of long serial
     // tasks. A user-specified repartition is exempt from AQE coalescing;
     // sortWithinPartitions then lets one streaming pass group by shard.
-    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    // Capped at the index's shard count (hash-on-shard cannot use more
+    // partitions than distinct shards — the excess was empty tasks, r7).
+    val parts = math.max(math.min(spark.sparkContext.defaultParallelism * 4,
+      PackedIndex.numShardsBound(indexDir, meta)), 1)
     val hits: Dataset[Hit] = matched
       .repartition(parts, col("shard"))
       .sortWithinPartitions(col("shard"), col("term"))
