@@ -99,6 +99,21 @@ object BenchExtra {
           println(f"""{"probe":"ds_$nQ","rep":$r,"sec":$sec%.2f,"qps":${nQ / sec}%.0f}""")
         }
 
+      case "batch" =>
+        // direct Seq-batch Wand.search on the 100k-page index (one job, no
+        // chunk staging) — isolates the kernel+rank cost per batch size
+        val nQ = args.lift(1).map(_.toInt).getOrElse(2500)
+        val reps = args.lift(2).map(_.toInt).getOrElse(4)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bx").toString
+        corpus.PagesPipeline.buildIndex(
+          corpus.PagesGen.pages(spark, 100000L, cpus.toInt * 2).toDF(),
+          s"$tmp/idx", shardBits = 12, groups = 2)
+        val qs = Bench.queryBatch(nQ)
+        (1 to reps).foreach { r =>
+          val sec = timed(query.Wand.search(spark, s"$tmp/idx", qs, k = 10).count())
+          println(f"""{"probe":"batch_$nQ","rep":$r,"sec":$sec%.2f,"qps":${nQ / sec}%.0f}""")
+        }
+
       case "wandbuild" =>
         // contract-scale PackedIndex.build phase breakdown (the fixed cost
         // ~15 battery lines pay): stats collection, group jobs, df, eps

@@ -51,7 +51,13 @@ object Wand {
     */
   final case class PreparedQuery(queryId: Long, tokens: Array[String],
                                  idf: Map[String, Double],
-                                 mustNot: Array[String] = Array.empty)
+                                 mustNot: Array[String] = Array.empty) {
+    /** Distinct-term occurrence counts, computed ONCE per query — the
+      * kernel previously rebuilt this map per (query, shard) (r7).
+      */
+    lazy val multiplicity: Map[String, Int] =
+      tokens.groupBy(identity).map { case (t, a) => t -> a.length }
+  }
 
   final case class Hit(query_id: Long, doc_id: Long, score: Double)
 
@@ -171,15 +177,7 @@ object Wand {
     val terms =
       (prepared.flatMap(_.idf.keys) ++ prepared.flatMap(_.mustNot)).distinct
     import spark.implicits._
-    if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
-      .withColumn("rank", lit(1)).limit(0)
-    val bc = spark.sparkContext.broadcast((stats, prepared))
-    val bcAllowed = spark.sparkContext.broadcast(
-      allowedDocs.map(_.sorted).orNull)
-    // tombstoned docs are invisible to every search (PackedIndex.delete)
-    val tomb = PackedIndex.loadTombstones(indexDir, meta)
-    val bcDenied = spark.sparkContext.broadcast(
-      if (tomb.isEmpty) null else tomb)
+    if (terms.isEmpty) return emptyHits(spark)
     val postings = PackedIndex.loadPostings(spark, indexDir, meta = meta)
     val matched =
       (if (terms.size <= IsinThreshold)
@@ -188,18 +186,57 @@ object Wand {
         postings.join(broadcast(terms.toDF("term")), "term"))
         .select(col("shard"), col("term"), col("nPostings"), col("blocks"))
         .as[PackedPostings]
-    // Explicit partition count: the WAND stage is compute-bound per shard
-    // group, not bytes-bound — AQE's byte-based coalescing would pack the
-    // (small, compressed) matched postings into a handful of long serial
-    // tasks. A user-specified repartition is exempt from AQE coalescing;
-    // sortWithinPartitions then lets one streaming pass group by shard.
-    // Capped at the index's shard count (hash-on-shard cannot use more
-    // partitions than distinct shards — the excess was empty tasks, r7).
+    val grouped = shardPartitioned(spark, indexDir, matched, meta)
+    val tomb = PackedIndex.loadTombstones(indexDir, meta)
+    kernelRank(spark, grouped, stats, prepared, k, allowedDocs, tomb,
+      minShouldMatch)
+  }
+
+  private def emptyHits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Hit].toDF().withColumn("rank", lit(1)).limit(0)
+  }
+
+  /** Repartition matched postings so each task holds whole doc-shards.
+    * Explicit partition count: the WAND stage is compute-bound per shard
+    * group, not bytes-bound — AQE's byte-based coalescing would pack the
+    * (small, compressed) matched postings into a handful of long serial
+    * tasks. A user-specified repartition is exempt from AQE coalescing;
+    * sortWithinPartitions then lets one streaming pass group by shard.
+    * Capped at the index's shard count (hash-on-shard cannot use more
+    * partitions than distinct shards — the excess was empty tasks, r7).
+    */
+  private def shardPartitioned(spark: SparkSession, indexDir: String,
+                               matched: Dataset[PackedPostings],
+                               meta: graft.io.MetaIO): Dataset[PackedPostings] = {
     val parts = math.max(math.min(spark.sparkContext.defaultParallelism * 4,
       PackedIndex.numShardsBound(indexDir, meta)), 1)
-    val hits: Dataset[Hit] = matched
+    matched
       .repartition(parts, col("shard"))
       .sortWithinPartitions(col("shard"), col("term"))
+  }
+
+  /** Per-shard WAND kernel + per-query global rank over an ALREADY
+    * shard-partitioned postings dataset — the tail every serving path
+    * shares; [[searchDs]] hands the SAME cached partitioned dataset to
+    * every chunk so the scan+shuffle runs once per batch, not per chunk.
+    * Results are independent of any extra terms present in the rows
+    * (cursors exist only for each query's own terms).
+    */
+  private def kernelRank(spark: SparkSession, grouped: Dataset[PackedPostings],
+                         stats: IndexStats, prepared: Seq[PreparedQuery],
+                         k: Int, allowedDocs: Option[Array[Long]],
+                         tomb: Array[Long], minShouldMatch: Int): DataFrame = {
+    import spark.implicits._
+    if (prepared.isEmpty || !prepared.exists(_.idf.nonEmpty))
+      return emptyHits(spark)
+    val bc = spark.sparkContext.broadcast((stats, prepared))
+    val bcAllowed = spark.sparkContext.broadcast(
+      allowedDocs.map(_.sorted).orNull)
+    // tombstoned docs are invisible to every search (PackedIndex.delete)
+    val bcDenied = spark.sparkContext.broadcast(
+      if (tomb.isEmpty) null else tomb)
+    val hits: Dataset[Hit] = grouped
       .mapPartitions { it =>
         val (st, qs) = bc.value
         val buf = it.buffered
@@ -236,12 +273,43 @@ object Wand {
                allowedDocs: Option[Array[Long]] = None,
                meta: graft.io.MetaIO = graft.io.LocalMetaIO,
                minShouldMatch: Int = 1,
-               mustNot: Map[Long, String] = Map.empty): DataFrame =
-    ChunkedServe.serve(spark, queries, chunkSize, io, stagingDir, meta,
-      "searchDs") { chunk =>
-      search(spark, indexDir, chunk, k, allowedDocs, meta, minShouldMatch,
-        mustNot)
-    }
+               mustNot: Map[Long, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    // r7: the index side is prepared ONCE for the whole batch — the union
+    // of the batch's tokens (one narrow pass over the query table, same
+    // CPython-parity tokenizer as prepare()) semi-joins the postings scan,
+    // and the shard-partitioned result is pinned so every chunk's kernel
+    // job reads the cached partitions instead of re-running the scan +
+    // shuffle per chunk. Per-chunk results are identical (cursors exist
+    // only for each query's own terms). The pin lives strictly inside this
+    // call: materialized before the chunk pool starts, unpersisted after.
+    val stats = PackedIndex.readStats(indexDir, meta)
+    val tomb = PackedIndex.loadTombstones(indexDir, meta)
+    val batchTerms = queries
+      .select(explode(graft.plans.GraftFunctions.py_ws_tokenize(
+        col("text").cast("string"))).as("term"))
+      .distinct()
+    val mnTerms = mustNot.valuesIterator
+      .flatMap(graft.tokenize.PyTokenize.split).toSeq.distinct
+    val allTerms =
+      if (mnTerms.isEmpty) batchTerms
+      else batchTerms.unionByName(mnTerms.toDF("term")).distinct()
+    val matched = PackedIndex.loadPostings(spark, indexDir, meta = meta)
+      .join(broadcast(allTerms), "term")
+      .select(col("shard"), col("term"), col("nPostings"), col("blocks"))
+      .as[PackedPostings]
+    val grouped = shardPartitioned(spark, indexDir, matched, meta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      grouped.foreachPartition((_: Iterator[PackedPostings]) => ()) // materialize once
+      ChunkedServe.serve(spark, queries, chunkSize, io, stagingDir, meta,
+        "searchDs") { chunk =>
+        val (st, prepared) = prepare(spark, indexDir, chunk, meta, mustNot)
+        kernelRank(spark, grouped, st, prepared, k, allowedDocs, tomb,
+          minShouldMatch)
+      }
+    } finally grouped.unpersist(false)
+  }
 
   // ---- per-shard kernel ------------------------------------------------
 
@@ -257,6 +325,36 @@ object Wand {
     */
   private final class TermPostings(val blocks: Array[PackedBlock],
                                    k1: Double, b: Double, avgdl: Double) {
+    // Shared once-per-(shard,term) lazy block decode. Every query in the
+    // batch that enters block bi reads the SAME decoded arrays — the old
+    // per-Cursor decode re-ran the varint kernel once per (query, block),
+    // which at a 10k-query chunk meant thousands of decodes of each hot
+    // term's blocks per shard (r7; the dominant cost of the Dataset batch
+    // path). Tasks process one shard group single-threaded, so the lazy
+    // fill needs no synchronization. Memory: the batch's matched postings
+    // of one shard, bounded by the shard width.
+    private val dDocs = new Array[Array[Long]](blocks.length)
+    private val dTfs = new Array[Array[Long]](blocks.length)
+    private val dDls = new Array[Array[Long]](blocks.length)
+    private def decodeBlock(bi: Int): Unit = {
+      val blk = blocks(bi)
+      val codec = graft.index.Codec
+      val deltas = codec.readVarLongs(blk.docs, blk.count)
+      val ids = new Array[Long](blk.count)
+      var acc = blk.base
+      var i = 0
+      while (i < blk.count) { acc += deltas(i); ids(i) = acc; i += 1 }
+      dDocs(bi) = ids
+      dTfs(bi) = codec.readVarLongs(blk.tfs, blk.count)
+      dDls(bi) = codec.readVarLongs(blk.dls, blk.count)
+    }
+    def docsOf(bi: Int): Array[Long] = {
+      if (dDocs(bi) == null) decodeBlock(bi)
+      dDocs(bi)
+    }
+    def tfsOf(bi: Int): Array[Long] = dTfs(bi)
+    def dlsOf(bi: Int): Array[Long] = dDls(bi)
+
     val blockNorms: Array[Double] = {
       val out = new Array[Double](blocks.length)
       var i = 0
@@ -296,15 +394,11 @@ object Wand {
     positionAtBlockStart()
 
     private def decode(): Unit = {
-      val b = blocks(bi)
-      val codec = graft.index.Codec
-      val deltas = codec.readVarLongs(b.docs, b.count)
-      docIds = new Array[Long](b.count)
-      var acc = b.base
-      var i = 0
-      while (i < b.count) { acc += deltas(i); docIds(i) = acc; i += 1 }
-      tfs = codec.readVarLongs(b.tfs, b.count)
-      dls = codec.readVarLongs(b.dls, b.count)
+      // shared decode: arrays live on the TermPostings, filled once per
+      // (shard, term, block) for the WHOLE query batch
+      docIds = tp.docsOf(bi)
+      tfs = tp.tfsOf(bi)
+      dls = tp.dlsOf(bi)
     }
 
     /** Position at the current block's first posting WITHOUT decoding: the
@@ -482,7 +576,7 @@ object Wand {
       // toward minimum_should_match — the exhaustive oracles (DuckDB tf
       // JOIN, rank_bm25 get_scores) include docs matched only by such terms
       // with score 0, and ES msm counts ANY matched query term.
-      val multiplicity = q.tokens.groupBy(identity).map { case (t, a) => t -> a.length }
+      val multiplicity = q.multiplicity
       val cursors: Array[Cursor] = q.idf.iterator.collect {
         case (t, idf) if byTerm.contains(t) =>
           new Cursor(t, idf, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
