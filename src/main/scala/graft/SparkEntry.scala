@@ -24,9 +24,15 @@ object SparkEntry {
 
   // ---- shared builders -------------------------------------------------
 
+  /** Shared corpus chain for the exhaustive-scoring queries. r7: `post` is
+    * the shuffle-free (doc_id, term, tf, dl) kernel
+    * ([[graft.index.PackedIndex.postingsWithDl]]) rather than the
+    * explode+groupBy aggregation — df/idf aggregate identically over it
+    * (one row per (doc, term)), and scoring no longer joins docLens.
+    */
   private def corpus(spark: SparkSession, dir: String) = {
     val tok = DocsCorpus.tokenized(spark, dir)
-    val post = InvertedIndex.postings(tok)
+    val post = graft.index.PackedIndex.postingsWithDl(tok)
     val dls = InvertedIndex.docLens(tok)
     val stats = InvertedIndex.corpusStats(dls).first()
     val n = stats.getLong(0)
@@ -36,8 +42,8 @@ object SparkEntry {
   }
 
   private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    val (_, post, dls, _, avgdl, idf) = corpus(spark, dir)
-    InvertedIndex.scoreQuery(post, idf, dls, avgdl, DocsCorpus.fixedQuery, P)
+    val (_, post, _, _, avgdl, idf) = corpus(spark, dir)
+    InvertedIndex.scoreQueryPostingsDl(post, idf, avgdl, DocsCorpus.fixedQuery, P)
   }
 
   /** Top-k via orderBy+limit (Catalyst TakeOrderedAndProject: per-partition
@@ -150,9 +156,10 @@ object SparkEntry {
     "q_bm25_filtered_topk" -> ((s, dir) => {
       val allowed = DocsCorpus.documents(s, dir)
         .filter(col("lang") === "en").select(col("doc_id"))
-      val (_, post, dls, _, avgdl, idf) = corpus(s, dir)
-      val scored = InvertedIndex.scoreQueryFiltered(
-        post, idf, dls, avgdl, DocsCorpus.fixedQuery, allowed, P)
+      val (_, post, _, _, avgdl, idf) = corpus(s, dir)
+      val scored = InvertedIndex.scoreQueryPostingsDl(
+        post.join(allowed.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        idf, avgdl, DocsCorpus.fixedQuery, P)
       val bounded = scored.withColumn("score_r", round(col("score"), 4))
         .select(col("doc_id"), col("score_r"))
         .orderBy(col("score_r").desc, col("doc_id").asc).limit(10)

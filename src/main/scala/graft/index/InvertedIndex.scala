@@ -155,6 +155,28 @@ object InvertedIndex {
       postingsDf.join(allowedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"),
       idfDf, docLensDf, avgdl, queryTerms, p)
 
+  /** [[scoreQuery]] over a (doc_id, term, tf, dl) source (the shuffle-free
+    * [[graft.index.PackedIndex.postingsWithDl]] kernel): dl rides each
+    * posting row, so the docLens join disappears — the only wide operation
+    * left is the final per-doc score aggregation (r7; at corpus scale this
+    * removes both the explode+groupBy postings shuffle and the doc_id
+    * join from every exhaustive-scoring query).
+    */
+  def scoreQueryPostingsDl(postingsDl: DataFrame, idfDf: DataFrame,
+                           avgdl: Double, queryTerms: Seq[String],
+                           p: Bm25Params = Bm25Params()): DataFrame = {
+    val spark = postingsDl.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .toDF("term", "q_mult")
+    postingsDl
+      .join(broadcast(qt), "term")
+      .join(broadcast(idfDf.select(col("term"), col("idf"))), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("q_mult") *
+        bm25Term(col("idf"), col("tf"), col("dl"), lit(avgdl), p)).as("score"))
+  }
+
   /** Rank the scored docs: score desc, doc_id asc tiebreak (pinned for
     * determinism — SURVEY §2.5 W1), keep top k.
     *

@@ -631,12 +631,18 @@ object PackedIndex {
     val n2 = preN - tomb.length
     require(n2 > 0, s"compact: all $preN docs deleted — delete the index instead")
 
-    // pass 1 (block-range pruned): dl of every deleted doc that has postings
+    // pass 1 (block-range pruned): dl of every deleted doc that has
+    // postings. Deduped per PARTITION in a task-local map (a deleted doc's
+    // postings are shard-local, so a partition's duplicates collapse to one
+    // row per deleted doc) and again in the driver's toMap — the previous
+    // .distinct() paid a full shuffle for the same ≤|tombstones|-bounded
+    // result (r7).
     val bcTomb = spark.sparkContext.broadcast(tomb)
     val deletedDl: Map[Long, Long] = loadPostings(spark, dir, io, meta)
       .mapPartitions { it =>
         val t = bcTomb.value
-        it.flatMap { pp =>
+        val local = new java.util.HashMap[Long, Long]()
+        it.foreach { pp =>
           pp.blocks.iterator
             .filter { b =>
               // any tombstone inside [base, maxDoc]?
@@ -644,13 +650,16 @@ object PackedIndex {
               val from = if (i >= 0) i else -i - 1
               from < t.length && t(from) <= b.maxDoc
             }
-            .flatMap { b =>
+            .foreach { b =>
               val cb = b.toCodec
               cb.decodeDocIds.iterator.zip(cb.decodeDls.iterator)
                 .filter { case (d, _) => java.util.Arrays.binarySearch(t, d) >= 0 }
+                .foreach { case (d, dl) => local.put(d, dl) }
             }
         }
-      }.distinct().collect().toMap
+        import scala.jdk.CollectionConverters._
+        local.asScala.iterator.map { case (d, dl) => (d, dl) }
+      }.collect().toMap
     val sumDl2 = listManifests(dir, meta).map(_.sumDl).sum - deletedDl.values.sum
 
     // pass 2: decode -> drop deleted -> repack with the same codec. The
@@ -661,6 +670,12 @@ object PackedIndex {
     meta.mkdirs(s"$outDir/manifest")
     val blockSize = stats.blockSize
     val t0 = System.nanoTime()
+    // manifest metrics (terms/postings) accumulate on the repack write
+    // itself — the extra read-back aggregation job is gone (r7; same
+    // accumulator role as the build's PackCounters: metrics only, the
+    // exact stats n2/sumDl2 come from the arithmetic above)
+    val cTerms = spark.sparkContext.longAccumulator("compactTerms")
+    val cPostings = spark.sparkContext.longAccumulator("compactPostings")
     val repacked = loadPostings(spark, dir, io, meta).mapPartitions { it =>
       val t = bcTomb.value
       def touched(b: PackedBlock): Boolean = {
@@ -669,8 +684,10 @@ object PackedIndex {
         from < t.length && t(from) <= b.maxDoc
       }
       it.flatMap { pp =>
-        if (!pp.blocks.exists(touched)) Iterator.single(pp) // header-only pass
-        else {
+        if (!pp.blocks.exists(touched)) {
+          cTerms.add(1L); cPostings.add(pp.nPostings)
+          Iterator.single(pp) // header-only pass
+        } else {
           val blocks = pp.blocks.map(_.toCodec)
           val docs = blocks.flatMap(_.decodeDocIds)
           val keep = docs.map(d => java.util.Arrays.binarySearch(t, d) < 0)
@@ -686,19 +703,18 @@ object PackedIndex {
           }
           val kdA = kd.result()
           if (kdA.isEmpty) Iterator.empty // term vanished from this shard
-          else Iterator.single(PackedPostings(pp.shard, pp.term, kdA.length.toLong,
-            Codec.pack(kdA, kt.result(), kl.result(), blockSize)
-              .map(b => PackedBlock(b.baseDocId, b.maxDocId, b.count, b.maxTf,
-                b.minDl, b.docs, b.tfs, b.dls)).toArray))
+          else {
+            cTerms.add(1L); cPostings.add(kdA.length.toLong)
+            Iterator.single(PackedPostings(pp.shard, pp.term, kdA.length.toLong,
+              Codec.pack(kdA, kt.result(), kl.result(), blockSize)
+                .map(b => PackedBlock(b.baseDocId, b.maxDocId, b.count, b.maxTf,
+                  b.minDl, b.docs, b.tfs, b.dls)).toArray))
+          }
         }
       }
     }
     io.write(repacked.toDF(), s"$outDir/postings/grp=0")
 
-    // stage 3 of a build, over the repacked rows (column-pruned)
-    val packedMeta = io.read(spark, s"$outDir/postings/grp=0")
-      .agg(count(lit(1)).as("terms"), sum(col("nPostings")).as("postings"))
-      .collect()(0)
     io.write(io.read(spark, s"$outDir/postings")
       .groupBy(col("term")).agg(sum(col("nPostings")).as("df")), s"$outDir/df")
     val avgRawIdf2 = InvertedIndex.avgRawIdf(io.read(spark, s"$outDir/df"), n2)
@@ -721,7 +737,7 @@ object PackedIndex {
     meta.writeAtomic(s"$outDir/holes.txt",
       (holes ++ tomb).distinct.sorted.mkString("\n"))
     writeManifest(s"$outDir/manifest/group-0.json",
-      GroupManifest(0, packedMeta.getLong(0), packedMeta.getLong(1), 0L,
+      GroupManifest(0, cTerms.value, cPostings.value, 0L,
         (System.nanoTime() - t0) / 1e6, n2, sumDl2), meta) // committed LAST
   }
 
