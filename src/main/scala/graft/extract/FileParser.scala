@@ -29,6 +29,12 @@ object FileParser extends Serializable {
   /** Reference get_type (file_parser.py:229-261) — same suffix sets, same
     * priority order (pdf, md, ppt, image, text, word, excel, html; epub
     * appended for the standalone reference path).
+    *
+    * DELIBERATE divergence (like the documented epub/normalize ones): the
+    * reference matches suffixes case-SENSITIVELY (`str.endswith`), so
+    * 'A.PDF' routes to None there but to the pdf arm here — uppercase
+    * suffixes are routine in crawled corpora and silently dropping them is
+    * the less useful behavior. Everything else (sets, priority) is exact.
     */
   def getType(path: String): Option[String] = {
     val p = path.toLowerCase

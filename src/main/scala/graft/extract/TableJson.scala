@@ -130,6 +130,7 @@ object Csv extends Serializable {
     val field = new java.lang.StringBuilder()
     var sawAny = false // current record has content (guards blank-line skip)
     var inQuotes = false
+    var recQuoted = false // any quoted section in the current record
     var i = 0
     val n = text.length
     def endField(): Unit = { rec += field.toString; field.setLength(0) }
@@ -137,9 +138,11 @@ object Csv extends Serializable {
       endField()
       val r = rec.result()
       // pandas skip_blank_lines: a record that is a single empty field
-      // (i.e. an empty line) is skipped
-      if (!(r.length == 1 && r.head.isEmpty)) out += r
-      rec.clear(); sawAny = false
+      // (i.e. an empty line) is skipped — but a lone quoted-empty field
+      // ("") is a real one-missing-cell row, not a blank line (r7, per
+      // pandas parity: read_csv yields a NaN row for it)
+      if (!(r.length == 1 && r.head.isEmpty && !recQuoted)) out += r
+      rec.clear(); sawAny = false; recQuoted = false
     }
     while (i < n) {
       val c = text.charAt(i)
@@ -149,7 +152,11 @@ object Csv extends Serializable {
           else inQuotes = false
         } else field.append(c)
       } else c match {
-        case '"'  => inQuotes = true; sawAny = true
+        // pandas' C parser honors the quote char only at FIELD START; a
+        // bare quote appearing mid-field is literal content (r7 — the old
+        // behavior re-entered quote mode and swallowed the next comma)
+        case '"' if field.length == 0 =>
+          inQuotes = true; sawAny = true; recQuoted = true
         case ','  => endField(); sawAny = true
         case '\r' => if (i + 1 < n && text.charAt(i + 1) == '\n') i += 1
                      endRecord()

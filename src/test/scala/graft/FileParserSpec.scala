@@ -91,7 +91,7 @@ class FileParserSpec extends AnyFunSuite {
       """{"b":{"0":0.5,"1":1.0,"2":12.25}}""")
   }
 
-  test("csv arm matches REAL pandas on 40 fuzz tables") {
+  test("csv arm matches REAL pandas on 43 fuzz tables") {
     // randomized headers/dtypes/missing-cells/special chars, expectations
     // from actual pandas read_csv -> dropna(axis=1) -> to_json
     // (tools/gen_doc_vectors.py's sibling block; committed vectors)
@@ -107,7 +107,7 @@ class FileParserSpec extends AnyFunSuite {
       assert(got == expected, s"fuzz case $i diverged from pandas:\n$csv")
       i += 1
     }
-    assert(i == 40)
+    assert(i == 43)
   }
 
   test("xlsx roundtrip: shared strings, numerics, gaps, dropna") {

@@ -390,6 +390,16 @@ for _ in range(40):
     fuzz_cases.append("\n".join(",".join(_field(c) for c in row)
                                 for row in [header] + rows) + "\n")
 
+# targeted raw-quote cases (r7): pandas' C parser honors the quote char only
+# at FIELD START — a bare mid-field quote is literal content, and a lone
+# quoted-empty line ("") is a one-NaN row, not a skipped blank line. These
+# pin the Csv.records fix against real pandas.
+fuzz_cases += [
+    'a,b\nab"c,d\n',
+    'a\n""\nzz\n',
+    'c0,c1\n"x"tail,2\nab""cd,3\n',
+]
+
 fuzz_out = []
 for text in fuzz_cases:
     fdf = pd.read_csv(io.BytesIO(text.encode()))
