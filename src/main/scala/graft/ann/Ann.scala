@@ -441,13 +441,22 @@ object Ann {
     * out (standard k-means behavior).
     */
   def lloyd(corpus: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var cents = seed
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, cents)
-      cents = graft.functions.TextFunctions.segmentMean(
+      // centroids are driver-small by construction (assignCells collects
+      // them anyway) — collecting the per-iteration means directly both
+      // pins the lineage (no re-run of prior assigns) and replaces the old
+      // localCheckpoint-then-collect pair with ONE job per iteration (r7)
+      val rows = graft.functions.TextFunctions.segmentMean(
         assigned.select(col("cell_id").as("segment_id"), col("vec")))
-        .select(col("segment_id").as("cell_id"), col("mean_vec").as("cvec"))
-        .localCheckpoint() // pin each iteration: lineage would re-run ALL prior assigns
+        .select(col("segment_id").cast("long").as("cell_id"),
+          col("mean_vec").cast("array<double>").as("cvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cents = rows.toSeq.toDF("cell_id", "cvec")
     }
     cents
   }

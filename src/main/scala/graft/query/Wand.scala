@@ -239,17 +239,19 @@ object Wand {
     val hits: Dataset[Hit] = grouped
       .mapPartitions { it =>
         val (st, qs) = bc.value
+        // ONE heap per query for the WHOLE task (all its shard groups):
+        // emissions drop from numShards x k to numTasks x k per query —
+        // see shardSearchInto
+        val heaps = new Array[TopKHeap](qs.size)
         val buf = it.buffered
-        new Iterator[Iterator[Hit]] {
-          def hasNext: Boolean = buf.hasNext
-          def next(): Iterator[Hit] = {
-            val shard = buf.head.shard
-            val rows = scala.collection.mutable.ArrayBuffer.empty[PackedPostings]
-            while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
-            shardSearch(rows.iterator, qs, st, k, bcAllowed.value,
-              bcDenied.value, minShouldMatch)
-          }
-        }.flatten
+        while (buf.hasNext) {
+          val shard = buf.head.shard
+          val rows = scala.collection.mutable.ArrayBuffer.empty[PackedPostings]
+          while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
+          shardSearchInto(rows.iterator, qs, st, k, bcAllowed.value,
+            bcDenied.value, minShouldMatch, heaps)
+        }
+        drainHeaps(qs, heaps)
       }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -552,6 +554,36 @@ object Wand {
                   allowed: Array[Long] = null,
                   denied: Array[Long] = null,
                   minShouldMatch: Int = 1): Iterator[Hit] = {
+    val heaps = new Array[TopKHeap](queries.size)
+    shardSearchInto(rows, queries, stats, k, allowed, denied, minShouldMatch,
+      heaps)
+    drainHeaps(queries, heaps)
+  }
+
+  private def drainHeaps(queries: Seq[PreparedQuery],
+                         heaps: Array[TopKHeap]): Iterator[Hit] =
+    queries.iterator.zipWithIndex.flatMap { case (q, i) =>
+      val h = heaps(i)
+      if (h == null) Iterator.empty
+      else h.drain().iterator.map { case (s, d) => Hit(q.queryId, d, s) }
+    }
+
+  /** [[shardSearch]] accumulating into CALLER-OWNED per-query heaps: a task
+    * holding several whole doc-shards offers every shard's candidates into
+    * one heap per query and emits once at task end — the per-query global
+    * rank then receives numTasks x k rows instead of numShards x k (r7; at
+    * the 2M scale point that is 9.8M -> ~0.6M window-input rows for a
+    * 2000-query batch). Results are identical: a doc in the global top-k is
+    * in every covering subset's top-k, and the heap's (score desc, doc asc)
+    * order is exactly the rank window's.
+    */
+  private def shardSearchInto(rows: Iterator[PackedPostings],
+                              queries: Seq[PreparedQuery],
+                              stats: IndexStats, k: Int,
+                              allowed: Array[Long],
+                              denied: Array[Long],
+                              minShouldMatch: Int,
+                              heaps: Array[TopKHeap]): Unit = {
     val p0 = stats.params
     val rawByTerm = scala.collection.mutable.HashMap.empty[String, Array[PackedBlock]]
     rows.foreach { r =>
@@ -566,7 +598,10 @@ object Wand {
     }
     val p = stats.params
     val kEff = if (k > 0) k else Int.MaxValue
-    queries.iterator.flatMap { q =>
+    var qi = 0
+    val qit = queries.iterator
+    while (qit.hasNext) {
+      val q = qit.next()
       // distinct matched terms with occurrence multiplicity; weightedIdf
       // folds the multiplicity so bounds stay per-distinct-cursor.
       // Zero-idf cursors (raw idf is exactly 0 at df == N/2; also every
@@ -581,8 +616,7 @@ object Wand {
         case (t, idf) if byTerm.contains(t) =>
           new Cursor(t, idf, idf * (p.k1 + 1.0) * multiplicity(t), byTerm(t))
       }.toArray
-      if (cursors.isEmpty || cursors.length < minShouldMatch) Iterator.empty
-      else {
+      if (cursors.nonEmpty && cursors.length >= minShouldMatch) {
         // must_not exclusion cursors: plain posting cursors (idf 0 — they
         // never score or bound) consulted right before full evaluation.
         // Evaluated docs are non-decreasing in the WAND loop, so the
@@ -590,10 +624,11 @@ object Wand {
         val excl: Array[Cursor] = q.mustNot.collect {
           case t if byTerm.contains(t) => new Cursor(t, 0.0, 0.0, byTerm(t))
         }
-        val heap = new TopKHeap(kEff)
-        wandLoop(cursors, q, heap, stats, allowed, denied, minShouldMatch, excl)
-        heap.drain().map { case (s, d) => Hit(q.queryId, d, s) }
+        if (heaps(qi) == null) heaps(qi) = new TopKHeap(kEff)
+        wandLoop(cursors, q, heaps(qi), stats, allowed, denied,
+          minShouldMatch, excl)
       }
+      qi += 1
     }
   }
 
