@@ -98,15 +98,16 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    hashedShingles: Boolean = false): DataFrame = {
     val shStr = shingles(docs, n, idCol, textCol)
-    // pinned once: four downstream lineages (set sizes, shingle frequency,
-    // both self-join sides) consume the shingle table — without a common
-    // exchange to reuse, each would recompute tokenize+shingling from the
-    // corpus (r7). In hashed mode the checkpoint lands AFTER the xxhash64
-    // projection so the pinned rows are 8-byte keys, not n-gram strings.
+    // NOT pinned: a localCheckpoint of the corpus-scale shingle table was
+    // tried in r7 and REVERTED — at the 2M-page point the pinned rows
+    // compete with execution memory and OOM the 8 GB default heap, while
+    // the contract-scale gain was noise. The downstream lineages recompute
+    // the narrow shingling pass instead (array_distinct dedup, no shuffle);
+    // doc-LEVEL intermediates (minhash signatures) stay pinned — they are
+    // corpus-row-count-sized, not shingle-count-sized.
     val sh =
-      (if (!hashedShingles) shStr
-       else shStr.select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
-        .localCheckpoint()
+      if (!hashedShingles) shStr
+      else shStr.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))

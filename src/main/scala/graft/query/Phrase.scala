@@ -437,21 +437,35 @@ object Phrase {
       .mapPartitions { it =>
         val qs = bcQueries.value
         val tombArr = bcTomb.value
+        // ONE bounded heap per query for the whole task (all its shard
+        // groups) — the global rank receives numTasks x k rows per query
+        // instead of numShards x k, mirroring the WAND kernel's r7
+        // task-level merge; results identical (a doc in the global top-k
+        // is in every covering subset's top-k, same tie order)
+        val heaps = new Array[BoundedCountHeap](qs.length)
         val buf = it.buffered
-        new Iterator[Iterator[(Long, Long, Long)]] {
-          def hasNext: Boolean = buf.hasNext
-          def next(): Iterator[(Long, Long, Long)] = {
-            val shard = buf.head.shard
-            val rows = scala.collection.mutable.ArrayBuffer.empty[graft.index.PosPostings]
-            while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
-            val decoded = decodeShard(rows.toSeq)
-            qs.iterator.flatMap { case (qid, pq) =>
-              shardTopK(intersectCounts(decoded, pq.slotTerms.toArray,
-                tombArr, pq.kernel), k)
-                .map { case (doc, cnt) => (qid, doc, cnt) }
+        while (buf.hasNext) {
+          val shard = buf.head.shard
+          val rows = scala.collection.mutable.ArrayBuffer.empty[graft.index.PosPostings]
+          while (buf.hasNext && buf.head.shard == shard) rows += buf.next()
+          val decoded = decodeShard(rows.toSeq)
+          var qi = 0
+          while (qi < qs.length) {
+            val (_, pq) = qs(qi)
+            val matches = intersectCounts(decoded, pq.slotTerms.toArray,
+              tombArr, pq.kernel)
+            if (matches.hasNext) {
+              if (heaps(qi) == null) heaps(qi) = new BoundedCountHeap(k)
+              matches.foreach { case (doc, cnt) => heaps(qi).offer(doc, cnt) }
             }
+            qi += 1
           }
-        }.flatten
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          val h = heaps(qi)
+          if (h == null) Iterator.empty
+          else h.drain().map { case (doc, cnt) => (qid, doc, cnt) }
+        }
       }
       .toDF("query_id", "doc_id", "cnt")
     val w = org.apache.spark.sql.expressions.Window
@@ -481,21 +495,22 @@ object Phrase {
         chunk.map { case (id, text) => id -> mode.parse(text) }, k, io, meta)
     }
 
-  /** Bounded top-k selection by (count desc, doc_id asc) from one shard's
-    * per-query match iterator — the per-(shard, query) heap that keeps the
-    * batch path's global rank input at <= shards x k rows per query.
+  /** Bounded top-k accumulator by (count desc, doc_id asc) — the per-query
+    * task-level heap that keeps the batch path's global rank input at
+    * <= numTasks x k rows per query (see the r7 merge note in [[search]]).
     */
-  private def shardTopK(it: Iterator[(Long, Long)], k: Int): Iterator[(Long, Long)] = {
+  private[query] final class BoundedCountHeap(k: Int) {
     // worst-first ordering: head = smallest count, then largest doc_id
-    val ord = Ordering.by[(Long, Long), (Long, Long)] {
+    private val ord = Ordering.by[(Long, Long), (Long, Long)] {
       case (doc, cnt) => (-cnt, doc)
     }
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
-    it.foreach { e =>
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+    def offer(doc: Long, cnt: Long): Unit = {
+      val e = (doc, cnt)
       if (heap.size < k) heap.enqueue(e)
       else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
     }
-    heap.iterator
+    def drain(): Iterator[(Long, Long)] = heap.iterator
   }
 
   /** Shared positional-kernel plumbing for phrase/proximity top-k:
