@@ -99,6 +99,28 @@ object BenchExtra {
           println(f"""{"probe":"ds_$nQ","rep":$r,"sec":$sec%.2f,"qps":${nQ / sec}%.0f}""")
         }
 
+      case "dsparity" =>
+        // large-scale parity audit: searchDs (chunked, shared cached
+        // postings) vs the Seq-batch search() on the same queries — row
+        // sets must be identical
+        val nQ = args.lift(1).map(_.toInt).getOrElse(10000)
+        val chunk = args.lift(2).map(_.toInt).getOrElse(2500)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bx").toString
+        corpus.PagesPipeline.buildIndex(
+          corpus.PagesGen.pages(spark, 100000L, cpus.toInt * 2).toDF(),
+          s"$tmp/idx", shardBits = 12, groups = 2)
+        val qs = Bench.queryBatch(nQ)
+        import spark.implicits._
+        val a = query.Wand.searchDs(spark, s"$tmp/idx",
+            qs.toDF("query_id", "text"), k = 10, chunkSize = chunk)
+          .select("query_id", "doc_id", "score", "rank")
+        val b = query.Wand.search(spark, s"$tmp/idx", qs, k = 10)
+          .select("query_id", "doc_id", "score", "rank")
+        val onlyA = a.exceptAll(b).count()
+        val onlyB = b.exceptAll(a).count()
+        val nA = a.count()
+        println(s"""{"probe":"dsparity","rows":$nA,"only_ds":$onlyA,"only_seq":$onlyB,"identical":${onlyA == 0 && onlyB == 0}}""")
+
       case "batch" =>
         // direct Seq-batch Wand.search on the 100k-page index (one job, no
         // chunk staging) — isolates the kernel+rank cost per batch size
